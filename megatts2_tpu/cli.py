@@ -1,0 +1,164 @@
+"""Training CLI — one entry point for all three stages.
+
+Replaces the reference's LightningCLI with a hardcoded trainer class the
+user must edit per stage (``cli.py:9-10``): here the stage is selected by
+``--stage {gan,plm,adm}`` (or inferred from the config's model key), and
+YAML configs keep the reference's knob names (see ``config.py``).
+
+    python -m megatts2_tpu.cli fit --config configs/config_gan.yaml --stage gan
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import jax
+import numpy as np
+import yaml
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="megatts2_tpu training")
+    p.add_argument("command", choices=["fit"], help="train a stage")
+    p.add_argument("--config", "-c", required=True)
+    p.add_argument("--stage", choices=["gan", "plm", "adm"], default=None)
+    p.add_argument("--ckpt_path", default=None, help="resume from orbax checkpoint")
+    p.add_argument("--log_dir", default="logs")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--trace_dir", default=None, help="jax.profiler trace output")
+    p.add_argument("--n_model", type=int, default=1, help="tensor-parallel axis size")
+    return p.parse_args(argv)
+
+
+def infer_stage(config_path: str) -> str:
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    model = cfg.get("model", {})
+    for key in ("G", "plm", "adm"):
+        if key in model:
+            return {"G": "gan", "plm": "plm", "adm": "adm"}[key]
+    raise ValueError("cannot infer stage from config; pass --stage")
+
+
+def _data_cfg(config_path: str) -> dict:
+    with open(config_path) as f:
+        return yaml.safe_load(f).get("data", {})
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    stage = args.stage or infer_stage(args.config)
+    ckpt_dir = args.ckpt_dir or os.path.join("checkpoints", stage)
+
+    from .data import (
+        ADMBatchBuilder,
+        CutManifest,
+        DataLoader,
+        DurationBucketSampler,
+        GANBatchBuilder,
+        PLMBatchBuilder,
+    )
+    from .parallel import make_mesh
+    from .training import run_training
+    from .training.checkpoints import latest_checkpoint, restore_checkpoint
+    from .training.train_loop import run_training
+
+    dcfg = _data_cfg(args.config)
+    ds_path = dcfg.get("ds_path", "data/ds/")
+    min_d, max_d = dcfg.get("min_duration", 1.5), dcfg.get("max_duration", 20)
+    manifests = {
+        split: CutManifest.load(os.path.join(ds_path, f"cuts_{split}.jsonl.gz"))
+        .filter_duration(min_d, max_d)
+        for split in ("train", "valid")
+    }
+    mesh = make_mesh(n_model=args.n_model)
+    rng = jax.random.PRNGKey(0)
+
+    def loaders(builder_cls, sampler_kwargs, builder_kwargs=None):
+        def factory(split):
+            def make(epoch):
+                sampler = DurationBucketSampler(manifests[split], **sampler_kwargs)
+                sampler.set_epoch(epoch)
+                builder = builder_cls(manifests[split], ds_path, **(builder_kwargs or {}))
+                return DataLoader(sampler, builder)
+
+            return make
+
+        return factory("train"), factory("valid")
+
+    if stage == "gan":
+        from .config import load_gan_config
+        from .training import create_gan_state, make_gan_eval_step, make_gan_train_step
+
+        g_cfg, d_cfg, tcfg = load_gan_config(args.config)
+        train_f, valid_f = loaders(
+            GANBatchBuilder,
+            dict(
+                max_duration_batch=dcfg.get("max_duration_batch", 60),
+                num_buckets=dcfg.get("num_buckets", 10),
+            ),
+        )
+        example = next(iter(train_f(0)))
+        state, g_tx, d_tx = create_gan_state(rng, g_cfg, d_cfg, tcfg, example)
+        if args.ckpt_path or latest_checkpoint(ckpt_dir):
+            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
+        eval_fn = make_gan_eval_step(g_cfg)
+        run_training(
+            "gan", state, step_fn, train_f, tcfg.max_steps,
+            log_dir=args.log_dir, ckpt_dir=ckpt_dir,
+            log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            eval_step=lambda s, b: {"loss_re": eval_fn(s, b)["loss_re"]},
+            valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
+        )
+    elif stage == "plm":
+        from .config import load_plm_config
+        from .training import create_plm_state, make_plm_train_step
+
+        cfg, tcfg = load_plm_config(args.config)
+        train_f, valid_f = loaders(
+            PLMBatchBuilder,
+            dict(max_duration_batch=None, max_cuts=dcfg.get("max_n_cuts", 15), num_buckets=1),
+            dict(vq_bins=cfg.vq_bins),
+        )
+        example = next(iter(train_f(0)))
+        state, tx = create_plm_state(rng, cfg, tcfg, example)
+        if args.ckpt_path or latest_checkpoint(ckpt_dir):
+            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        step_fn, eval_fn = make_plm_train_step(cfg, tcfg, tx)
+        run_training(
+            "plm", state, step_fn, train_f, tcfg.max_steps,
+            log_dir=args.log_dir, ckpt_dir=ckpt_dir,
+            log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            eval_step=eval_fn, valid_loader_factory=valid_f, mesh=mesh,
+            trace_dir=args.trace_dir,
+        )
+    else:  # adm
+        from .config import load_adm_config
+        from .training import create_adm_state, make_adm_train_step
+
+        cfg, tcfg = load_adm_config(args.config)
+        train_f, valid_f = loaders(
+            ADMBatchBuilder,
+            dict(
+                max_duration_batch=dcfg.get("max_duration_batch", 400),
+                num_buckets=dcfg.get("num_buckets", 10),
+            ),
+        )
+        example = next(iter(train_f(0)))
+        state, tx = create_adm_state(rng, cfg, tcfg, example)
+        if args.ckpt_path or latest_checkpoint(ckpt_dir):
+            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        step_fn, eval_fn = make_adm_train_step(cfg, tcfg, tx)
+        run_training(
+            "adm", state, step_fn, train_f, tcfg.max_steps,
+            log_dir=args.log_dir, ckpt_dir=ckpt_dir,
+            log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            eval_step=eval_fn, valid_loader_factory=valid_f, mesh=mesh,
+            trace_dir=args.trace_dir,
+        )
+
+
+if __name__ == "__main__":
+    main()

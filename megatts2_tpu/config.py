@@ -1,0 +1,200 @@
+"""Frozen dataclass configs for all models + a YAML config loader.
+
+Replaces the reference's Lightning ``class_path``/``init_args`` YAML DI trees
+(``configs/*.yaml`` + ``utils/utils.py:86-102 instantiate_class``) with typed
+dataclasses and a small registry, keeping the same knob names so reference
+configs translate 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import yaml
+
+from . import HIFIGAN_HOP_LENGTH, HIFIGAN_MEL_CHANNELS, HIFIGAN_SR
+
+
+@dataclass(frozen=True)
+class MRTEConfig:
+    """Knobs of reference ``modules/mrte.py:63-152`` / configs/config_gan.yaml."""
+
+    mel_bins: int = HIFIGAN_MEL_CHANNELS
+    mel_frames: int = HIFIGAN_HOP_LENGTH
+    mel_activation: str = "ReLU"
+    mel_kernel_size: int = 3
+    mel_stride: int = 16
+    mel_n_layer: int = 5
+    mel_n_stack: int = 5
+    mel_n_block: int = 2
+    content_ff_dim: int = 1024
+    content_n_heads: int = 2
+    content_n_layers: int = 8
+    hidden_size: int = 512
+    duration_token_ms: float = HIFIGAN_HOP_LENGTH / HIFIGAN_SR * 1000
+    phone_vocab_size: int = 320
+    dropout: float = 0.1
+    sample_rate: int = HIFIGAN_SR
+
+
+@dataclass(frozen=True)
+class VQPEConfig:
+    """Knobs of reference ``modules/vqpe.py:13-48``."""
+
+    mel_bins: int = 20  # prosody = low mel bands (config_gan.yaml:62)
+    stride: int = 8
+    hidden_size: int = 384
+    kernel_size: int = 5
+    n_layers: int = 3
+    n_stacks: int = 5
+    n_blocks: int = 2
+    vq_bins: int = 1024
+    vq_dim: int = 256
+    activation: str = "ReLU"
+
+
+@dataclass(frozen=True)
+class MegaGConfig:
+    """Knobs of reference ``models/megatts2.py:30-54``."""
+
+    mrte: MRTEConfig = field(default_factory=MRTEConfig)
+    vqpe: VQPEConfig = field(default_factory=VQPEConfig)
+    kernel_size: int = 5
+    activation: str = "ReLU"
+    hidden_size: int = 512
+    decoder_n_stack: int = 4
+    decoder_n_block: int = 2
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Knobs of reference ``modules/dscrm.py:113-123``."""
+
+    time_lengths: Tuple[int, ...] = (32, 64, 128)
+    freq_length: int = 80
+    kernel: Tuple[int, int] = (3, 3)
+    c_in: int = 1
+    hidden_size: int = 192
+
+
+@dataclass(frozen=True)
+class MegaPLMConfig:
+    """Knobs of reference ``models/megatts2.py:120-146``."""
+
+    n_layers: int = 12
+    n_heads: int = 16
+    vq_dim: int = 512
+    tc_latent_dim: int = 512
+    vq_bins: int = 1024
+    dropout: float = 0.1
+
+    @property
+    def d_model(self) -> int:
+        return self.vq_dim + self.tc_latent_dim
+
+    @property
+    def bos_id(self) -> int:
+        return self.vq_bins
+
+    @property
+    def eos_id(self) -> int:
+        return self.vq_bins + 1
+
+
+@dataclass(frozen=True)
+class MegaADMConfig:
+    """Knobs of reference ``models/megatts2.py:201-231``."""
+
+    n_layers: int = 8
+    n_heads: int = 8
+    emb_dim: int = 256
+    tc_latent_dim: int = 512
+    tc_emb_dim: int = 256
+    dropout: float = 0.1
+    max_duration_token: int = 256
+
+    @property
+    def d_model(self) -> int:
+        return self.emb_dim + self.tc_emb_dim
+
+
+@dataclass(frozen=True)
+class HiFiGANConfig:
+    """HiFi-GAN V1 generator at 16 kHz / hop 256 (the speechbrain
+    tts-hifigan-libritts-16kHz topology the reference vocodes with)."""
+
+    in_channels: int = HIFIGAN_MEL_CHANNELS
+    upsample_initial_channel: int = 512
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    lrelu_slope: float = 0.1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    initial_learning_rate: float = 3e-5
+    warmup_steps: int = 200
+    max_steps: int = 600_000
+    G_commit_loss_coeff: float = 0.15
+    G_vq_loss_coeff: float = 0.05
+    G_adv_loss_coeff: float = 1.0
+    train_dtype: str = "bfloat16"
+    log_every_n_steps: int = 100
+    val_check_interval: int = 1500
+    seed: int = 0
+
+
+def _build(cls, d: dict) -> Any:
+    """Recursively build a (nested) dataclass from a plain dict, accepting the
+    reference's ``{class_path, init_args}`` wrappers transparently."""
+    if isinstance(d, dict) and "init_args" in d:
+        d = d["init_args"]
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.type in (
+            MRTEConfig, VQPEConfig,
+        ):
+            v = _build(f.type, v)
+        elif isinstance(v, list):
+            v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_gan_config(path: str) -> tuple[MegaGConfig, DiscriminatorConfig, TrainConfig]:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    m = cfg["model"]
+    g_args = dict(m["G"].get("init_args", m["G"]))
+    g = MegaGConfig(
+        mrte=_build(MRTEConfig, g_args["mrte"]),
+        vqpe=_build(VQPEConfig, g_args["vqpe"]),
+        **{k: v for k, v in g_args.items() if k not in ("mrte", "vqpe", "class_path")},
+    )
+    d = _build(DiscriminatorConfig, m.get("D", {}))
+    t = _build(TrainConfig, {**m, **cfg.get("trainer", {})})
+    return g, d, t
+
+
+def load_plm_config(path: str) -> tuple[MegaPLMConfig, TrainConfig]:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    return (
+        _build(MegaPLMConfig, cfg["model"]["plm"]),
+        _build(TrainConfig, {**cfg["model"], **cfg.get("trainer", {})}),
+    )
+
+
+def load_adm_config(path: str) -> tuple[MegaADMConfig, TrainConfig]:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    return (
+        _build(MegaADMConfig, cfg["model"]["adm"]),
+        _build(TrainConfig, {**cfg["model"], **cfg.get("trainer", {})}),
+    )

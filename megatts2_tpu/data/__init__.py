@@ -1,0 +1,7 @@
+from .datasets import (ADMBatchBuilder, GANBatchBuilder, LatentReader,
+                       PLMBatchBuilder, TokensCollector, expand_by_durations,
+                       max_pool_1d_ceil)
+from .features import FeatureReader, FeatureWriter
+from .loader import DataLoader
+from .manifest import Cut, CutManifest
+from .sampler import DurationBucketSampler, round_up

@@ -1,0 +1,228 @@
+"""Batch builders for the three training stages (GAN / PLM / ADM).
+
+Parity targets: reference ``modules/datamodule.py`` —
+* TTSDataset (:72-137): phone/duration tokens padded with 0, mel targets
+  truncated so Σdurations ≤ mel_len, timbre mels = concat of 2..10 random
+  same-speaker utterances cut to the batch-min length;
+* MegaPLMDataset (:140-240): stage-2 latents length-regulated by duration
+  then ×8 max-pooled, ≤10 same-speaker utterances prefixed as prompt,
+  BOS=vq_bins prepended, EOS=vq_bins+1 padded;
+* MegaADMDataset (:243-296): cuts with any duration ≥128 skipped, leading-0
+  BOS pad, float durations (B, T+1, 1).
+
+TPU-first departure: every padded axis rounds up to a bucket multiple so the
+jit cache stays small (static shapes), and batch assembly is pure numpy —
+no torch, no thread-pooled HDF5 (features are memmap slices).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .features import FeatureReader
+from .manifest import CutManifest
+from .sampler import round_up
+from ..text.symbol_table import SymbolTable
+
+MEL_PAD_MULTIPLE = 64
+PHONE_PAD_MULTIPLE = 16
+
+
+def expand_by_durations(x: np.ndarray, durations: np.ndarray) -> np.ndarray:
+    """Host-side length regulation: (T, D) → (Σdur, D)."""
+    return np.repeat(x, durations.astype(np.int64), axis=0)
+
+
+def max_pool_1d_ceil(x: np.ndarray, stride: int) -> np.ndarray:
+    """(T, D) → (ceil(T/stride), D) max pooling."""
+    T, D = x.shape
+    pad = (-T) % stride
+    if pad:
+        x = np.concatenate([x, np.full((pad, D), -np.inf, x.dtype)], axis=0)
+    return x.reshape(-1, stride, D).max(axis=1)
+
+
+class TokensCollector:
+    """Phone-string → id collation (reference ``datamodule.py:30-69``)."""
+
+    def __init__(self, symbols_file: str):
+        self.token2idx = {
+            tok: idx for idx, tok in enumerate(SymbolTable.from_file(symbols_file).symbols)
+        }
+
+    def phone2token(self, phones: List[str]) -> np.ndarray:
+        return np.array([self.token2idx[p] for p in phones], dtype=np.int32)
+
+    def collate(self, cuts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        lens = np.array([len(c.phone_tokens) for c in cuts], np.int32)
+        T = round_up(int(lens.max()), PHONE_PAD_MULTIPLE)
+        phones = np.zeros((len(cuts), T), np.int32)
+        durs = np.zeros((len(cuts), T), np.int32)
+        for i, c in enumerate(cuts):
+            phones[i, : lens[i]] = self.phone2token(c.phone_tokens)
+            durs[i, : lens[i]] = np.asarray(c.duration_tokens, np.int32)
+        return phones, durs, lens
+
+
+class GANBatchBuilder:
+    """Builds the VQ-GAN training batch (reference TTSDataset semantics)."""
+
+    def __init__(
+        self,
+        manifest: CutManifest,
+        ds_path: str,
+        n_same_spk_samples: int = 10,
+        seed: int = 0,
+        max_timbre_frames: int = 2048,
+    ):
+        self.manifest = manifest
+        self.collector = TokensCollector(os.path.join(ds_path, "unique_text_tokens.k2symbols"))
+        self.reader = FeatureReader()
+        self.spk2idx = manifest.speaker_index()
+        self.n_same_spk_samples = n_same_spk_samples
+        self.rng = np.random.RandomState(seed)
+        self.max_timbre_frames = max_timbre_frames
+
+    def _read_mel(self, cut) -> np.ndarray:
+        return self.reader.read(cut.feats_path, cut.feats_offset, cut.num_frames)
+
+    def __call__(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        cuts = [self.manifest[i] for i in idxs]
+        phones, durs, lens = self.collector.collate(cuts)
+
+        # mel targets, truncated to Σduration then padded to bucket multiple
+        tgt_lens = np.array(
+            [min(int(sum(c.duration_tokens)), c.num_frames) for c in cuts], np.int32
+        )
+        T = max(int(tgt_lens.max()), 128)
+        T = round_up(T, MEL_PAD_MULTIPLE)
+        mel_targets = np.zeros((len(cuts), T, 80), np.float32)
+        for i, c in enumerate(cuts):
+            mel_targets[i, : tgt_lens[i]] = self._read_mel(c)[: tgt_lens[i]]
+
+        # timbre mels: concat of 2..n random same-speaker utterances
+        n_sample = self.rng.randint(2, self.n_same_spk_samples + 1)
+        timbres, tlens = [], []
+        for c in cuts:
+            pool = self.spk2idx[c.speaker]
+            pick = self.rng.choice(pool, size=min(n_sample, len(pool)), replace=False)
+            mel = np.concatenate([self._read_mel(self.manifest[int(j)]) for j in pick])
+            mel = mel[: self.max_timbre_frames]
+            timbres.append(mel)
+            tlens.append(mel.shape[0])
+        tmin = min(tlens)
+        tmin = max(tmin - tmin % PHONE_PAD_MULTIPLE, PHONE_PAD_MULTIPLE)
+        mel_timbres = np.stack([m[:tmin] for m in timbres]).astype(np.float32)
+
+        return {
+            "phone_tokens": phones,
+            "duration_tokens": durs,
+            "tokens_lens": lens,
+            "mel_targets": mel_targets,
+            "mel_target_lens": tgt_lens,
+            "mel_timbres": mel_timbres,
+        }
+
+
+class LatentReader:
+    """Stage-2 latent store: {ds_path}/latents/{spk}/{id}.npy with keys
+    tc_latent (1, Tp, D) and p_code (1, 1, Tc)."""
+
+    def __init__(self, ds_path: str):
+        self.ds_path = ds_path
+
+    def read(self, cut) -> Dict[str, np.ndarray]:
+        path = os.path.join(self.ds_path, "latents", cut.speaker, f"{cut.id}.npy")
+        return np.load(path, allow_pickle=True).item()
+
+
+class PLMBatchBuilder:
+    def __init__(
+        self,
+        manifest: CutManifest,
+        ds_path: str,
+        n_same_spk_samples: int = 10,
+        vq_bins: int = 1024,
+        seed: int = 0,
+        max_tokens: int = 4096,
+    ):
+        self.manifest = manifest
+        self.latents = LatentReader(ds_path)
+        self.spk2idx = manifest.speaker_index()
+        self.n = n_same_spk_samples
+        self.bos = vq_bins
+        self.eos = vq_bins + 1
+        self.rng = np.random.RandomState(seed)
+        self.max_tokens = max_tokens
+
+    def _cut_latent(self, cut) -> tuple[np.ndarray, np.ndarray]:
+        lat = self.latents.read(cut)
+        tc = np.asarray(lat["tc_latent"][0], np.float32)  # (Tp, D)
+        dur = np.asarray(cut.duration_tokens, np.int64)
+        tc = expand_by_durations(tc, dur)  # frame rate
+        tc = max_pool_1d_ceil(tc, 8)  # code rate
+        p = np.asarray(lat["p_code"]).reshape(-1)  # (Tc,)
+        assert tc.shape[0] == p.shape[0], (tc.shape, p.shape)
+        return tc, p
+
+    def __call__(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        tc_list, code_list, lens = [], [], []
+        for i in idxs:
+            cut = self.manifest[i]
+            tc, p = self._cut_latent(cut)
+            pool = self.spk2idx[cut.speaker]
+            picks = self.rng.choice(pool, size=min(self.n, len(pool)), replace=False)
+            for j in picks:  # prompt prefix: same-speaker utterances
+                tc_j, p_j = self._cut_latent(self.manifest[int(j)])
+                tc = np.concatenate([tc_j, tc])
+                p = np.concatenate([p_j, p])
+            tc = tc[-self.max_tokens :]
+            p = p[-self.max_tokens :]
+            assert p.max() < self.bos
+            code_list.append(np.concatenate([[self.bos], p]))
+            tc_list.append(tc)
+            lens.append(p.shape[0])
+
+        lens = np.asarray(lens, np.int32)
+        L = round_up(int(lens.max()), 32)
+        D = tc_list[0].shape[1]
+        p_codes = np.full((len(idxs), L + 1), self.eos, np.int32)
+        tc_latents = np.zeros((len(idxs), L, D), np.float32)
+        for i, (tc, p) in enumerate(zip(tc_list, code_list)):
+            p_codes[i, : len(p)] = p
+            tc_latents[i, : tc.shape[0]] = tc
+        return {"p_codes": p_codes, "tc_latents": tc_latents, "lens": lens}
+
+
+class ADMBatchBuilder:
+    def __init__(self, manifest: CutManifest, ds_path: str, max_duration_token: int = 128):
+        self.manifest = manifest
+        self.latents = LatentReader(ds_path)
+        self.max_duration_token = max_duration_token
+
+    def __call__(self, idxs: List[int]) -> Optional[Dict[str, np.ndarray]]:
+        durs, tcs, lens = [], [], []
+        for i in idxs:
+            cut = self.manifest[i]
+            d = np.asarray(cut.duration_tokens, np.float32)
+            if d.max() >= self.max_duration_token:
+                continue  # reference skips such cuts (datamodule.py:259-260)
+            lat = self.latents.read(cut)
+            tc = np.asarray(lat["tc_latent"][0], np.float32)
+            assert tc.shape[0] == d.shape[0]
+            durs.append(d)
+            tcs.append(tc)
+            lens.append(d.shape[0])
+        if not durs:
+            return None
+        lens = np.asarray(lens, np.int32)
+        T = round_up(int(lens.max()), PHONE_PAD_MULTIPLE)
+        D = tcs[0].shape[1]
+        duration_tokens = np.zeros((len(durs), T + 1, 1), np.float32)  # leading 0 = BOS
+        tc_latents = np.zeros((len(durs), T, D), np.float32)
+        for i, (d, tc) in enumerate(zip(durs, tcs)):
+            duration_tokens[i, 1 : 1 + len(d), 0] = d
+            tc_latents[i, : tc.shape[0]] = tc
+        return {"duration_tokens": duration_tokens, "tc_latents": tc_latents, "lens": lens}

@@ -1,0 +1,104 @@
+"""Inference CLI — zero-shot synthesis from prompt wavs + text.
+
+Replaces the reference's hardcoded ``infer.py`` (ctor paths + a fixed test
+sentence, ``infer.py:3-19``) with argparse, while keeping the same
+``Megatts(...)(wavs_dir, text)`` call shape.  Accepts reference Lightning
+checkpoints (.ckpt, converted on the fly) for G/PLM/ADM and an optional
+HiFi-GAN torch checkpoint; missing checkpoints fall back to random init
+(useful for smoke runs).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="megatts2_tpu zero-shot TTS")
+    p.add_argument("--wavs_dir", required=True, help="dir with prompt *.wav files")
+    p.add_argument("--text", required=True)
+    p.add_argument("--out", default="test.wav")
+    p.add_argument("--g_ckpt", default=None)
+    p.add_argument("--g_config", default="configs/config_gan.yaml")
+    p.add_argument("--plm_ckpt", default=None)
+    p.add_argument("--plm_config", default="configs/config_plm.yaml")
+    p.add_argument("--adm_ckpt", default=None)
+    p.add_argument("--adm_config", default="configs/config_adm.yaml")
+    p.add_argument("--hifigan_ckpt", default=None)
+    p.add_argument("--symbol_table", default="data/ds/unique_text_tokens.k2symbols")
+    p.add_argument("--pinyin_dict", default=None)
+    p.add_argument("--max_frames", type=int, default=2048)
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from .config import (
+        HiFiGANConfig,
+        load_adm_config,
+        load_gan_config,
+        load_plm_config,
+    )
+    from .models import HiFiGAN, MegaADM, MegaG, MegaPLM, Megatts
+    from .training.convert import (
+        convert_adm,
+        convert_hifigan,
+        convert_megag,
+        convert_plm,
+        load_torch_state_dict,
+    )
+
+    g_cfg, _, _ = load_gan_config(args.g_config)
+    plm_cfg, _ = load_plm_config(args.plm_config)
+    adm_cfg, _ = load_adm_config(args.adm_config)
+    hifi_cfg = HiFiGANConfig()
+    key = jax.random.PRNGKey(0)
+
+    if args.g_ckpt:
+        g_vars = convert_megag(load_torch_state_dict(args.g_ckpt, prefix="G."), g_cfg)
+    else:
+        v = jax.jit(MegaG(g_cfg).init)(
+            {"params": key, "vq": key},
+            jnp.ones((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            jnp.asarray([8]), jnp.zeros((1, 64, 80)), jnp.zeros((1, 64, 80)),
+        )
+        g_vars = {"params": v["params"], "vq_stats": v["vq_stats"]}
+
+    if args.plm_ckpt:
+        plm_params = convert_plm(load_torch_state_dict(args.plm_ckpt, prefix="plm."), plm_cfg)
+    else:
+        plm_params = jax.jit(MegaPLM(plm_cfg).init)(
+            key, jnp.zeros((1, 4, plm_cfg.tc_latent_dim)),
+            jnp.zeros((1, 5), jnp.int32), jnp.asarray([4]),
+        )["params"]
+
+    if args.adm_ckpt:
+        adm_params = convert_adm(load_torch_state_dict(args.adm_ckpt, prefix="adm."), adm_cfg)
+    else:
+        adm_params = jax.jit(MegaADM(adm_cfg).init)(
+            key, jnp.zeros((1, 4, adm_cfg.tc_latent_dim)),
+            jnp.zeros((1, 5, 1)), jnp.asarray([4]),
+        )["params"]
+
+    if args.hifigan_ckpt:
+        hifi_params = convert_hifigan(load_torch_state_dict(args.hifigan_ckpt), hifi_cfg)
+    else:
+        hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
+
+    tts = Megatts(
+        g_vars=g_vars, plm_params=plm_params, adm_params=adm_params,
+        hifi_params=hifi_params, symbol_table=args.symbol_table,
+        g_cfg=g_cfg, plm_cfg=plm_cfg, adm_cfg=adm_cfg, hifi_cfg=hifi_cfg,
+        pinyin_dict_path=args.pinyin_dict, max_frames=args.max_frames,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    wav = tts(args.wavs_dir, args.text, out_path=args.out)
+    print(f"wrote {args.out}: {wav.shape[0] / 16000:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

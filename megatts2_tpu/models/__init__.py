@@ -1,0 +1,8 @@
+from .adm import MegaADM, adm_infer
+from .dscrm import Discriminator, SingleWindowDisc
+from .hifigan import HiFiGAN, ResBlock1, TransposedConv1d
+from .megag import MegaG
+from .megatts import Megatts, synthesize
+from .mrte import MRTE
+from .plm import MegaPLM, plm_infer
+from .vqpe import VQProsodyEncoder

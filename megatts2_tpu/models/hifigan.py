@@ -1,0 +1,113 @@
+"""HiFi-GAN V1 generator (vocoder) in flax, channels-last.
+
+The reference never trains a vocoder; it loads the pretrained speechbrain
+``tts-hifigan-libritts-16kHz`` generator and decodes on CPU
+(``models/megatts2.py:321-323,370-372``).  This module implements the same
+topology (upsample rates 8/8/2/2, kernels 16/16/4/4, initial 512 channels,
+MRF resblocks k=3/7/11 × dilations 1/3/5) natively in JAX so vocoding runs
+on-TPU inside the jitted synthesis graph; a torch-checkpoint converter in
+``training/convert.py`` maps pretrained weights (weight-norm folded, conv
+kernels transposed/flipped).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import HiFiGANConfig
+
+
+class TransposedConv1d(nn.Module):
+    """Exact torch ``ConvTranspose1d(k, s, padding=(k-s)//2)`` equivalent:
+    output length = T*s.  Kernel stored (k, in, out); torch weights convert
+    via transpose(2,0,1) + kernel flip."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s = self.kernel_size, self.stride
+        p = (k - s) // 2
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return out + bias.astype(self.dtype)
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block: per dilation, LReLU→dilated conv→LReLU→conv."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+    lrelu_slope: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        for i, d in enumerate(self.dilations):
+            p1 = (k - 1) * d // 2
+            p2 = (k - 1) // 2
+            y = nn.leaky_relu(x, self.lrelu_slope)
+            y = nn.Conv(
+                self.channels, (k,), kernel_dilation=(d,), padding=[(p1, p1)],
+                dtype=self.dtype, name=f"convs1_{i}",
+            )(y)
+            y = nn.leaky_relu(y, self.lrelu_slope)
+            y = nn.Conv(
+                self.channels, (k,), padding=[(p2, p2)], dtype=self.dtype, name=f"convs2_{i}"
+            )(y)
+            x = x + y
+        return x
+
+
+class HiFiGAN(nn.Module):
+    cfg: HiFiGANConfig = HiFiGANConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, T, 80) log-mel → waveform (B, T*256)."""
+        c = self.cfg
+        x = nn.Conv(
+            c.upsample_initial_channel, (7,), padding=[(3, 3)], dtype=self.dtype,
+            name="conv_pre",
+        )(mel.astype(self.dtype))
+        n_k = len(c.resblock_kernel_sizes)
+        for i, (r, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, c.lrelu_slope)
+            x = TransposedConv1d(ch, k, r, dtype=self.dtype, name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
+            ):
+                y = ResBlock1(
+                    ch, rk, tuple(rd), c.lrelu_slope, dtype=self.dtype,
+                    name=f"resblocks_{i * n_k + j}",
+                )(x)
+                acc = y if acc is None else acc + y
+            x = acc / n_k
+        x = nn.leaky_relu(x, c.lrelu_slope)
+        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

@@ -1,0 +1,173 @@
+"""Megatts — end-to-end zero-shot TTS synthesis.
+
+Parity target: reference ``models/megatts2.py:295-375``:
+prompt wavs → mel → MRTE tc_latent → ADM durations → length-regulate →
+×8 max-pool → PLM prosody codes → VQ decode (+×8 repeat) → MegaG decoder →
+HiFi-GAN waveform, prompt audio prepended.
+
+TPU-first: the whole cascade after mel extraction is ONE jitted function with
+static (bucketed) shapes; both AR loops are KV-cached scans; vocoding runs
+on-TPU.  Dynamic true lengths ride alongside as scalars and the host trims
+the final waveform.
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import os
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import HIFIGAN_HOP_LENGTH, HIFIGAN_SR
+from ..config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig
+from ..ops import mel_spectrogram, regulate_length
+from ..text.symbol_table import SymbolTable
+from ..text.tokenizer import TextTokenizer
+from ..utils.audio import load_wav, peak_normalize, save_wav
+from .adm import MegaADM, adm_infer
+from .hifigan import HiFiGAN
+from .megag import MegaG
+from .plm import MegaPLM, plm_infer
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def max_pool_time(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """F.max_pool1d(x, stride, ceil_mode=True) over the time axis of
+    (B, T, D)."""
+    pad = (-x.shape[1]) % stride
+    return nn.max_pool(x, window_shape=(stride,), strides=(stride,), padding=((0, pad),))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g_cfg", "plm_cfg", "adm_cfg", "hifi_cfg", "max_frames", "dtype"),
+)
+def synthesize(
+    g_vars: dict,
+    plm_params: dict,
+    adm_params: dict,
+    hifi_params: dict,
+    g_cfg: MegaGConfig,
+    plm_cfg: MegaPLMConfig,
+    adm_cfg: MegaADMConfig,
+    hifi_cfg: HiFiGANConfig,
+    phone_tokens: jnp.ndarray,  # (B, Tp) int32, 0-padded
+    phone_lens: jnp.ndarray,  # (B,)
+    mels_prompt: jnp.ndarray,  # (B, Tm, 80)
+    max_frames: int,  # static output frame budget
+    dtype: Any = jnp.bfloat16,
+):
+    """Batched zero-shot synthesis.  Returns (wav (B, max_frames*hop),
+    n_frames (B,)) — callers trim with n_frames*hop."""
+    g = MegaG(g_cfg, dtype=dtype)
+
+    # 1. content/timbre latent (phone × mel-prompt cross attention)
+    tc_latent = g.apply(
+        g_vars,
+        phone_tokens,
+        mels_prompt,
+        phone_lens,
+        method=lambda m, p, mel, pl: m.mrte.tc_latent(p, mel, pl),
+    )  # (B, Tp, H)
+
+    # 2. AR duration decode (KV-cached scan)
+    dt = adm_infer(adm_params, adm_cfg, tc_latent.astype(jnp.float32), dtype=dtype)
+    # zero out predictions beyond the true phone length
+    pos = jnp.arange(dt.shape[1])[None, :]
+    dt = jnp.where(pos < phone_lens[:, None], dt, 0)
+    n_frames = jnp.minimum(dt.sum(axis=1), max_frames)
+
+    # 3. length-regulate to frame rate
+    tc_expand = regulate_length(tc_latent, dt, max_frames)  # (B, Tf, H)
+
+    # 4. 8x max-pool to prosody-code rate, AR prosody decode
+    tc_plm = max_pool_time(tc_expand, 8)  # (B, Tf/8, H)
+    p_codes = plm_infer(plm_params, plm_cfg, tc_plm.astype(jnp.float32), dtype=dtype)
+
+    # 5. VQ decode, ×8 upsample, mel decode
+    zq = g.apply(
+        g_vars, p_codes[None], method=lambda m, c: m.vqpe.vq.decode(c)
+    )  # (B, T/8, vq_dim)
+    zq = jnp.repeat(zq, 8, axis=1)
+    mel_hat = g.apply(
+        g_vars, tc_expand, zq, method=lambda m, a, b: m.decode_latents(a, b)
+    )  # (B, Tf, 80)
+
+    # 6. vocode on-TPU
+    wav = HiFiGAN(hifi_cfg, dtype=dtype).apply(
+        {"params": hifi_params}, mel_hat.astype(jnp.float32)
+    )
+    return wav.astype(jnp.float32), mel_hat, n_frames
+
+
+class Megatts:
+    """End-to-end inference driver holding converted/loaded variables.
+
+    Mirrors the reference API: ``Megatts(...)(wavs_dir, text)`` writes
+    ``test.wav`` with prompt audio + generated speech concatenated.
+    """
+
+    def __init__(
+        self,
+        g_vars: dict,
+        plm_params: dict,
+        adm_params: dict,
+        hifi_params: dict,
+        symbol_table: str,
+        g_cfg: MegaGConfig = MegaGConfig(),
+        plm_cfg: MegaPLMConfig = MegaPLMConfig(),
+        adm_cfg: MegaADMConfig = MegaADMConfig(),
+        hifi_cfg: HiFiGANConfig = HiFiGANConfig(),
+        pinyin_dict_path: Optional[str] = None,
+        max_frames: int = 2048,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.g_vars = g_vars
+        self.plm_params = plm_params
+        self.adm_params = adm_params
+        self.hifi_params = hifi_params
+        self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg = (
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+        )
+        self.tt = TextTokenizer(pinyin_dict_path)
+        st = SymbolTable.from_file(symbol_table)
+        self.token2idx = {s: i for i, s in enumerate(st.symbols)}
+        self.max_frames = max_frames
+        self.dtype = dtype
+
+    def phone_ids(self, text: str) -> np.ndarray:
+        phones = self.tt.tokenize_lty(self.tt.tokenize(text))
+        return np.array([self.token2idx[p] for p in phones], dtype=np.int32)
+
+    def __call__(self, wavs_dir: str, text: str, out_path: str = "test.wav") -> np.ndarray:
+        wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
+        mels = []
+        prompt_wav = None
+        for w in wavs:
+            y = peak_normalize(load_wav(w, HIFIGAN_SR))
+            if prompt_wav is None:
+                prompt_wav = y
+            mels.append(np.asarray(mel_spectrogram(jnp.asarray(y))))
+        mel_prompt = np.concatenate(mels, axis=0)[None]  # (1, Tm, 80)
+
+        ids = self.phone_ids(text)[None]  # (1, Tp)
+        lens = np.array([ids.shape[1]], np.int32)
+
+        wav, _, n_frames = synthesize(
+            self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
+            self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
+            jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mel_prompt),
+            max_frames=self.max_frames, dtype=self.dtype,
+        )
+        n = int(n_frames[0]) * HIFIGAN_HOP_LENGTH
+        gen = np.asarray(wav[0])[:n]
+        full = np.concatenate([prompt_wav, gen]) if prompt_wav is not None else gen
+        save_wav(out_path, full, HIFIGAN_SR)
+        return full

@@ -1,0 +1,179 @@
+"""Transformer encoder stack (pre-LN) with self/cross attention and an
+autoregressive KV-cache decode path.
+
+Parity targets: reference ``modules/transformer.py`` —
+* MultiHeadAttention: separate q/k/v Linear (bias=True), optional cross-attn
+  via ``kv=``, scaled-dot-product attention, out-proj + dropout.
+* TransformerEncoderLayer: pre-LN, residual attention, FF either
+  Linear-ReLU-(dropout)-Linear or Conv1d(k=5)-ReLU-Conv1d(k=5) (``conv_ff``).
+* TransformerEncoder: N independently-parameterized layers, mask built from
+  lengths (padding ∥ causal).
+
+TPU-first departures: masks are additive fp32 built once per forward;
+attention runs as batched einsums on the MXU in the module compute dtype
+(bf16-capable) with fp32 softmax; decoding uses a static-shape KV cache
+(``decode=True``) advanced one token per call so the whole AR loop can live
+inside ``jax.lax.scan`` — the reference recomputes the full prefix per token
+(``models/megatts2.py:165-181``) and has no cache.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.masks import NEG_INF, make_attn_mask
+
+
+def _attend(
+    q: jnp.ndarray,  # (B, Tq, H, Dh)
+    k: jnp.ndarray,  # (B, Tk, H, Dh)
+    v: jnp.ndarray,  # (B, Tk, H, Dh)
+    mask: Optional[jnp.ndarray],  # additive (B|1, 1|H, Tq, Tk) fp32
+) -> jnp.ndarray:
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    qkv_dim: int
+    n_heads: int = 8
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    decode: bool = False  # enable the KV-cache single-token path
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,  # (B, Tq, D)
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        max_decode_len: int = 0,
+    ) -> jnp.ndarray:
+        assert self.qkv_dim % self.n_heads == 0
+        head_dim = self.qkv_dim // self.n_heads
+        dense = lambda name: nn.Dense(self.qkv_dim, use_bias=True, dtype=self.dtype, name=name)
+        src = q if kv is None else kv
+        qh = dense("w_q")(q)
+        kh = dense("w_k")(src)
+        vh = dense("w_v")(src)
+        B, Tq = q.shape[0], q.shape[1]
+        qh = qh.reshape(B, Tq, self.n_heads, head_dim)
+        kh = kh.reshape(B, src.shape[1], self.n_heads, head_dim)
+        vh = vh.reshape(B, src.shape[1], self.n_heads, head_dim)
+
+        if self.decode:
+            assert kv is None, "KV-cache decode is for self-attention only"
+            assert max_decode_len > 0
+            cache_k = self.variable(
+                "cache", "k", jnp.zeros, (B, max_decode_len, self.n_heads, head_dim), self.dtype
+            )
+            cache_v = self.variable(
+                "cache", "v", jnp.zeros, (B, max_decode_len, self.n_heads, head_dim), self.dtype
+            )
+            cache_idx = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
+            idx = cache_idx.value
+            cache_k.value = jax.lax.dynamic_update_slice(cache_k.value, kh, (0, idx, 0, 0))
+            cache_v.value = jax.lax.dynamic_update_slice(cache_v.value, vh, (0, idx, 0, 0))
+            cache_idx.value = idx + Tq
+            pos = jnp.arange(max_decode_len)
+            dec_mask = jnp.where(
+                pos[None, None, None, :] <= idx, jnp.float32(0.0), jnp.float32(NEG_INF)
+            )
+            att = _attend(qh, cache_k.value, cache_v.value, dec_mask)
+        else:
+            att = _attend(qh, kh, vh, mask)
+
+        att = att.reshape(B, Tq, self.qkv_dim)
+        out = nn.Dense(self.qkv_dim, use_bias=True, dtype=self.dtype, name="out_proj")(att)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class TransformerEncoderLayer(nn.Module):
+    dim: int
+    ff_dim: int
+    conv_ff: bool = False
+    n_heads: int = 8
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    decode: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, D)
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        max_decode_len: int = 0,
+    ) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = x + MultiHeadAttention(
+            self.dim, self.n_heads, self.dropout, dtype=self.dtype, decode=self.decode, name="attn"
+        )(ln("norm1")(x), mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
+        if self.conv_ff:
+            # norm -> residual Conv1d(k=5)-ReLU-Conv1d(k=5); note the reference
+            # applies norm2 *outside* the residual here (transformer.py:96-99).
+            h = ln("norm2")(x)
+            y = nn.Conv(self.ff_dim, (5,), padding=[(2, 2)], dtype=self.dtype, name="ff_conv1")(h)
+            y = nn.relu(y)
+            y = nn.Conv(self.dim, (5,), padding=[(2, 2)], dtype=self.dtype, name="ff_conv2")(y)
+            x = h + y
+        else:
+            h = ln("norm2")(x)
+            y = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff_linear1")(h)
+            y = nn.relu(y)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            y = nn.Dense(self.dim, dtype=self.dtype, name="ff_linear2")(y)
+            x = x + y
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    dim: int
+    ff_dim: int
+    num_layers: int
+    conv_ff: bool = False
+    n_heads: int = 8
+    dropout: float = 0.0
+    final_norm: bool = False
+    dtype: Any = jnp.float32
+    decode: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, D)
+        x_lens: Optional[jnp.ndarray] = None,  # (B,)
+        causal: bool = False,
+        deterministic: bool = True,
+        max_decode_len: int = 0,
+    ) -> jnp.ndarray:
+        mask = None
+        if x_lens is not None and not self.decode:
+            mask = make_attn_mask(x_lens, x.shape[1], causal=causal)
+        elif causal and not self.decode:
+            from ..ops.masks import causal_mask
+
+            mask = causal_mask(x.shape[1])
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.dim,
+                self.ff_dim,
+                conv_ff=self.conv_ff,
+                n_heads=self.n_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                decode=self.decode,
+                name=f"layers_{i}",
+            )(x, mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x

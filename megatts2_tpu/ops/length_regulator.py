@@ -1,0 +1,45 @@
+"""Vectorized FastSpeech-style length regulation.
+
+The reference (``modules/mrte.py:23-60``) builds a dense 0/1 alignment
+matrix in a triple Python loop on numpy and multiplies it with the phone
+latents — a host round-trip and O(T_out * T_in) memory.  On TPU we replace
+it with a cumsum + searchsorted gather: frame ``f`` copies phone
+``searchsorted(cumsum(durations), f, side='right')``.  This is loop-free,
+jit-able, static-shaped, and differentiable w.r.t. ``x``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def regulate_length(
+    x: jnp.ndarray,  # (B, T_in, D) phone-rate latents
+    durations: jnp.ndarray,  # (B, T_in) int frames per phone
+    max_out_len: int,  # static output length (>= max total duration)
+) -> jnp.ndarray:
+    """Expand phone latents to frame rate.  Frames beyond sum(durations)
+    are zero-filled (matching the reference's all-zero alignment rows)."""
+    durations = durations.astype(jnp.int32)
+    # ends[b, j] = first frame index NOT covered by phone j
+    ends = jnp.cumsum(durations, axis=-1)  # (B, T_in)
+    total = ends[:, -1]  # (B,)
+    frames = jnp.arange(max_out_len, dtype=jnp.int32)  # (T_out,)
+    # phone index owning each frame: number of ends <= f
+    idx = jax.vmap(
+        lambda e: jnp.searchsorted(e, frames, side="right")
+    )(ends)  # (B, T_out)
+    idx = jnp.clip(idx, 0, x.shape[1] - 1)
+    out = jnp.take_along_axis(x, idx[..., None], axis=1)  # (B, T_out, D)
+    valid = frames[None, :] < total[:, None]  # (B, T_out)
+    return jnp.where(valid[..., None], out, jnp.zeros((), dtype=x.dtype))
+
+
+def gather_indices(durations: jnp.ndarray, max_out_len: int) -> jnp.ndarray:
+    """Just the (B, T_out) frame->phone index map (clipped), plus validity."""
+    durations = durations.astype(jnp.int32)
+    ends = jnp.cumsum(durations, axis=-1)
+    frames = jnp.arange(max_out_len, dtype=jnp.int32)
+    idx = jax.vmap(lambda e: jnp.searchsorted(e, frames, side="right"))(ends)
+    valid = frames[None, :] < ends[:, -1][:, None]
+    return jnp.clip(idx, 0, durations.shape[1] - 1), valid

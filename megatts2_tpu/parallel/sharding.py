@@ -1,0 +1,58 @@
+"""Parameter sharding rules: tensor parallelism for the transformer stacks.
+
+Megascale recipe (How-to-Scale-Your-Model style): column-parallel first
+projection (shard the output features over 'model'), row-parallel second
+projection (shard the input features), attention q/k/v column-parallel /
+out-proj row-parallel (= head sharding).  Conv stacks, embeddings, VQ
+codebooks and norms are replicated — at d_model ≤ 1024 their cost is small
+and LayerNorm-over-channels wants full features.  GSPMD inserts the
+all-reduce at the row-parallel outputs over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# path substrings → (kernel PartitionSpec factory, bias PartitionSpec factory)
+_COLUMN = ("w_q", "w_k", "w_v", "ff_linear1", "ff_conv1", "predict_layer")
+_ROW = ("out_proj", "ff_linear2", "ff_conv2")
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    is_kernel = path.endswith("/kernel")
+    if any(f"/{m}/" in path for m in _COLUMN):
+        if is_kernel:  # Dense (in, out) or Conv (k, in, out): shard out
+            return P(*([None] * (ndim - 1)), MODEL_AXIS)
+        return P(MODEL_AXIS)  # bias (out,)
+    if any(f"/{m}/" in path for m in _ROW):
+        if is_kernel:  # shard the contracting (input) dim
+            return P(*([None] * (ndim - 2)), MODEL_AXIS, None)
+        return P()  # bias after the all-reduce stays replicated
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a params pytree, applying the TP rules."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = {}
+    for path, leaf in flat[0]:
+        key = "/" + "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path
+        )
+        specs[key] = NamedSharding(mesh, _spec_for(key, leaf.ndim))
+
+    def to_sharding(path, leaf):
+        key = "/" + "/".join(p.key if hasattr(p, "key") else str(p.idx) for p in path)
+        return specs[key]
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def replicated_like(tree: Any, mesh: Mesh) -> Any:
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: rep, tree)

@@ -1,0 +1,209 @@
+"""VQ-GAN training step (generator + multi-window discriminator).
+
+Parity target: reference ``models/trainer.py:22-195`` (MegaGANTrainer):
+manual two-optimizer alternation —
+* D step first: LSGAN ``0.5·E[(D(y)−1)²] + 0.5·E[D(ŷ_detached)²]``;
+* then G step AGAINST THE UPDATED D:
+  ``L1(y, ŷ) + 0.15·commit + 0.05·vq + 1.0·0.5·E[(D(ŷ)−1)²]``
+  (coefficients from configs/config_gan.yaml:93-95);
+* AdamW + cosine-warmup schedules with T = max_steps // 2; bf16 compute.
+
+TPU-first design: the whole alternation is ONE jitted, shardable function.
+The generator runs forward once — ``jax.vjp`` captures the pullback, the D
+update consumes ``stop_gradient(ŷ)``, and the G gradient is pulled back
+through the saved vjp with the post-update D params, reproducing the
+reference's ordering without a second G forward.  Discriminator window
+starts are sampled from the step RNG (same start across the batch, as the
+reference's ``clip``), and VQ EMA state updates ride along functionally.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DiscriminatorConfig, MegaGConfig, TrainConfig
+from ..models import Discriminator, MegaG
+from .schedules import make_adamw
+
+
+class GANTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    vq_stats: Any
+    batch_stats: Any
+    g_opt: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def create_gan_state(
+    rng: jax.Array,
+    g_cfg: MegaGConfig,
+    d_cfg: DiscriminatorConfig,
+    tcfg: TrainConfig,
+    example_batch: dict,
+) -> Tuple[GANTrainState, optax.GradientTransformation, optax.GradientTransformation]:
+    g = MegaG(g_cfg)
+    d = Discriminator(d_cfg)
+    g_rng, d_rng, vq_rng, state_rng = jax.random.split(rng, 4)
+    g_vars = jax.jit(g.init)(
+        {"params": g_rng, "vq": vq_rng},
+        example_batch["duration_tokens"],
+        example_batch["phone_tokens"],
+        example_batch["tokens_lens"],
+        example_batch["mel_timbres"],
+        example_batch["mel_targets"],
+    )
+    d_vars = jax.jit(d.init)(d_rng, example_batch["mel_targets"])
+    g_tx = make_adamw(tcfg.initial_learning_rate, tcfg.warmup_steps, tcfg.max_steps // 2)
+    d_tx = make_adamw(tcfg.initial_learning_rate, tcfg.warmup_steps, tcfg.max_steps // 2)
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_vars["params"],
+        d_params=d_vars["params"],
+        vq_stats=g_vars["vq_stats"],
+        batch_stats=d_vars.get("batch_stats", {}),
+        g_opt=g_tx.init(g_vars["params"]),
+        d_opt=d_tx.init(d_vars["params"]),
+        rng=state_rng,
+    )
+    return state, g_tx, d_tx
+
+
+def make_gan_train_step(
+    g_cfg: MegaGConfig,
+    d_cfg: DiscriminatorConfig,
+    tcfg: TrainConfig,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+):
+    dtype = jnp.bfloat16 if tcfg.train_dtype == "bfloat16" else jnp.float32
+    g = MegaG(g_cfg, dtype=dtype)
+    d = Discriminator(d_cfg, dtype=dtype)
+
+    def train_step(state: GANTrainState, batch: dict):
+        rng, drop_rng, vq_rng, win_rng = jax.random.split(state.rng, 4)
+        T = batch["mel_targets"].shape[1]
+        win_rngs = jax.random.split(win_rng, len(d_cfg.time_lengths))
+        starts = [
+            jax.random.randint(r, (), 0, max(T - wl, 0) + 1)
+            for r, wl in zip(win_rngs, d_cfg.time_lengths)
+        ]
+
+        # --- single generator forward, vjp captured ---------------------
+        def g_forward(g_params):
+            (y_hat, commit, vq_loss), mut = g.apply(
+                {"params": g_params, "vq_stats": state.vq_stats},
+                batch["duration_tokens"],
+                batch["phone_tokens"],
+                batch["tokens_lens"],
+                batch["mel_timbres"],
+                batch["mel_targets"],
+                train=True,
+                rngs={"dropout": drop_rng, "vq": vq_rng},
+                mutable=["vq_stats"],
+            )
+            return (
+                y_hat.astype(jnp.float32),
+                commit.astype(jnp.float32),
+                vq_loss.astype(jnp.float32),
+            ), mut["vq_stats"]
+
+        (y_hat, commit_loss, vq_loss), g_vjp, new_vq_stats = jax.vjp(
+            g_forward, state.g_params, has_aux=True
+        )
+        y = batch["mel_targets"].astype(jnp.float32)
+
+        def d_apply(params, bstats, mel):
+            out, mut = d.apply(
+                {"params": params, "batch_stats": bstats},
+                mel, starts=starts, train=True,
+                rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            return out["y"].astype(jnp.float32), mut["batch_stats"]
+
+        # --- discriminator update (on detached y_hat) -------------------
+        def d_loss_fn(d_params):
+            v_real, bs1 = d_apply(d_params, state.batch_stats, y)
+            v_fake, bs2 = d_apply(d_params, bs1, jax.lax.stop_gradient(y_hat))
+            loss_real = 0.5 * jnp.mean((v_real - 1.0) ** 2)
+            loss_fake = 0.5 * jnp.mean(v_fake**2)
+            return loss_real + loss_fake, (loss_real, loss_fake, bs2)
+
+        (d_loss, (d_loss_real, d_loss_fake, bstats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # --- generator update against the UPDATED discriminator ---------
+        def g_loss_from_outputs(y_hat_f, commit_f, vq_f):
+            v_adv, bs = d_apply(d_params, bstats, y_hat_f)
+            loss_adv = 0.5 * jnp.mean((v_adv - 1.0) ** 2)
+            loss_re = jnp.mean(jnp.abs(y - y_hat_f))
+            loss = (
+                loss_re
+                + commit_f * tcfg.G_commit_loss_coeff
+                + vq_f * tcfg.G_vq_loss_coeff
+                + loss_adv * tcfg.G_adv_loss_coeff
+            )
+            return loss, (loss_re, loss_adv, bs)
+
+        (g_loss, (g_loss_re, g_loss_adv, bstats)), out_grads = jax.value_and_grad(
+            g_loss_from_outputs, argnums=(0, 1, 2), has_aux=True
+        )(y_hat, commit_loss, vq_loss)
+        (g_grads,) = g_vjp(out_grads)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            vq_stats=new_vq_stats,
+            batch_stats=bstats,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            rng=rng,
+        )
+        metrics = {
+            "D_loss_total": d_loss,
+            "D_loss_real": d_loss_real,
+            "D_loss_fake": d_loss_fake,
+            "G_loss_total": g_loss,
+            "G_loss_adv": g_loss_adv,
+            "G_loss_re": g_loss_re,
+            "G_loss_commit": commit_loss,
+            "G_loss_vq": vq_loss,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_gan_eval_step(g_cfg: MegaGConfig):
+    g = MegaG(g_cfg)
+
+    def eval_step(state: GANTrainState, batch: dict):
+        y_hat, _, _ = g.apply(
+            {"params": state.g_params, "vq_stats": state.vq_stats},
+            batch["duration_tokens"],
+            batch["phone_tokens"],
+            batch["tokens_lens"],
+            batch["mel_timbres"],
+            batch["mel_targets"],
+            train=False,
+        )
+        loss_re = jnp.mean(
+            jnp.abs(batch["mel_targets"].astype(jnp.float32) - y_hat.astype(jnp.float32))
+        )
+        return {"loss_re": loss_re, "y_hat": y_hat}
+
+    return eval_step

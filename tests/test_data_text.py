@@ -1,0 +1,263 @@
+"""Data pipeline + text front-end tests (pure host-side, no jit)."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from megatts2_tpu.data import (
+    ADMBatchBuilder,
+    Cut,
+    CutManifest,
+    DurationBucketSampler,
+    FeatureReader,
+    FeatureWriter,
+    GANBatchBuilder,
+    PLMBatchBuilder,
+    expand_by_durations,
+    max_pool_1d_ceil,
+    round_up,
+)
+from megatts2_tpu.text import SymbolTable, TextTokenizer, read_textgrid
+from megatts2_tpu.text.tokenizer import load_pinyin_dict
+
+
+class TestManifest:
+    def test_roundtrip(self, tmp_path):
+        m = CutManifest(
+            [
+                Cut("a", "spk1", 2.0, 125, ["x", "y"], [60, 65], "hi", "f.bin", 0),
+                Cut("b", "spk2", 3.0, 188, ["z"], [188], "yo", "f.bin", 125),
+            ]
+        )
+        p = str(tmp_path / "cuts.jsonl.gz")
+        m.save(p)
+        m2 = CutManifest.load(p)
+        assert len(m2) == 2
+        assert m2[0].id == "a" and m2[1].feats_offset == 125
+        assert m2[0].duration_tokens == [60, 65]
+
+    def test_filter_and_speaker_index(self):
+        m = CutManifest(
+            [Cut(str(i), f"spk{i % 2}", float(i), 10) for i in range(1, 6)]
+        )
+        f = m.filter_duration(2.0, 4.0)
+        assert [c.id for c in f] == ["2", "3", "4"]
+        idx = m.speaker_index()
+        assert idx["spk1"] == [0, 2, 4]
+
+
+class TestFeatures:
+    def test_write_read(self, tmp_path):
+        p = str(tmp_path / "feats.bin")
+        a = np.random.RandomState(0).randn(17, 80).astype(np.float32)
+        b = np.random.RandomState(1).randn(9, 80).astype(np.float32)
+        with FeatureWriter(p, dim=80) as w:
+            pa, oa = w.add(a)
+            pb, ob = w.add(b)
+        r = FeatureReader()
+        np.testing.assert_allclose(r.read(pa, oa, 17), a, atol=1e-2)  # f16 storage
+        np.testing.assert_allclose(r.read(pb, ob, 9), b, atol=1e-2)
+
+
+class TestSampler:
+    def test_batches_cover_all_and_respect_budget(self):
+        m = CutManifest([Cut(str(i), "s", 1.0 + (i % 7), 10) for i in range(50)])
+        s = DurationBucketSampler(m, max_duration_batch=10.0, num_buckets=3, seed=1)
+        batches = list(s)
+        seen = sorted(i for b in batches for i in b)
+        assert seen == list(range(50))
+        for b in batches[:-len(s.buckets)] if len(batches) > 3 else []:
+            assert sum(m[i].duration for i in b) <= 10.0 + 8.0  # last item may overflow
+
+    def test_max_cuts(self):
+        m = CutManifest([Cut(str(i), "s", 2.0, 10) for i in range(10)])
+        s = DurationBucketSampler(m, max_duration_batch=None, max_cuts=3, num_buckets=1)
+        assert all(len(b) <= 3 for b in s)
+
+    def test_epoch_changes_order(self):
+        m = CutManifest([Cut(str(i), "s", 1.0 + i * 0.1, 10) for i in range(20)])
+        s = DurationBucketSampler(m, max_duration_batch=5.0, num_buckets=2, seed=7)
+        s.set_epoch(0)
+        b0 = list(s)
+        s.set_epoch(1)
+        b1 = list(s)
+        assert b0 != b1
+
+
+class TestHostOps:
+    def test_expand_by_durations(self):
+        x = np.array([[1.0], [2.0], [3.0]])
+        out = expand_by_durations(x, np.array([2, 0, 3]))
+        np.testing.assert_array_equal(out[:, 0], [1, 1, 3, 3, 3])
+
+    def test_max_pool_ceil(self):
+        x = np.arange(10, dtype=np.float32)[:, None]
+        out = max_pool_1d_ceil(x, 4)
+        np.testing.assert_array_equal(out[:, 0], [3, 7, 9])
+
+
+def _make_ds(tmp_path, n_cuts=6, n_spk=2, frames=40, n_phones=4):
+    """Tiny on-disk dataset: features + manifest + symbols + latents."""
+    rng = np.random.RandomState(0)
+    ds = str(tmp_path)
+    cuts = []
+    with FeatureWriter(os.path.join(ds, "feats.bin"), dim=80) as w:
+        for i in range(n_cuts):
+            mel = rng.randn(frames, 80).astype(np.float32)
+            p, o = w.add(mel)
+            dur = [frames // n_phones] * n_phones
+            cuts.append(
+                Cut(
+                    f"c{i}", f"spk{i % n_spk}", 2.0, frames,
+                    [f"ph{j}" for j in range(n_phones)], dur, "", p, o,
+                )
+            )
+    m = CutManifest(cuts)
+    with open(os.path.join(ds, "unique_text_tokens.k2symbols"), "w") as f:
+        f.write("<eps> 0\n")
+        for j in range(n_phones):
+            f.write(f"ph{j} {j + 1}\n")
+    # stage-2 latents
+    for c in cuts:
+        os.makedirs(os.path.join(ds, "latents", c.speaker), exist_ok=True)
+        lat = {
+            "tc_latent": rng.randn(1, n_phones, 16).astype(np.float32),
+            "p_code": rng.randint(0, 32, (1, 1, -(-frames // 8))).astype(np.int32),
+        }
+        np.save(os.path.join(ds, "latents", c.speaker, f"{c.id}.npy"), lat)
+    return m, ds
+
+
+class TestBatchBuilders:
+    def test_gan_batch(self, tmp_path):
+        m, ds = _make_ds(tmp_path)
+        b = GANBatchBuilder(m, ds, seed=0)
+        batch = b([0, 1, 2])
+        assert batch["phone_tokens"].shape == batch["duration_tokens"].shape
+        assert batch["mel_targets"].shape[0] == 3
+        assert batch["mel_targets"].shape[1] % 64 == 0
+        assert batch["mel_targets"].shape[1] >= 128
+        assert batch["mel_timbres"].shape[0] == 3
+        assert (batch["tokens_lens"] == 4).all()
+        # mel content beyond target len is zero padding
+        tl = batch["mel_target_lens"][0]
+        assert np.abs(batch["mel_targets"][0, tl:]).sum() == 0
+
+    def test_plm_batch(self, tmp_path):
+        m, ds = _make_ds(tmp_path)
+        b = PLMBatchBuilder(m, ds, n_same_spk_samples=2, vq_bins=32, seed=0)
+        batch = b([0, 1])
+        B, L1 = batch["p_codes"].shape
+        assert B == 2 and L1 == batch["tc_latents"].shape[1] + 1
+        assert batch["p_codes"][0, 0] == 32  # BOS
+        # padding is EOS
+        for i in range(B):
+            n = batch["lens"][i]
+            assert (batch["p_codes"][i, n + 1 :] == 33).all()
+
+    def test_adm_batch_skips_long_durations(self, tmp_path):
+        m, ds = _make_ds(tmp_path)
+        m.cuts[0].duration_tokens = [200, 10, 10, 10]  # must be skipped
+        b = ADMBatchBuilder(m, ds)
+        batch = b([0, 1, 2])
+        assert batch["duration_tokens"].shape[0] == 2
+        # leading 0 BOS
+        assert (batch["duration_tokens"][:, 0, 0] == 0).all()
+
+
+class TestSymbolTable:
+    def test_roundtrip(self, tmp_path):
+        t = SymbolTable()
+        t.add("a")
+        t.add("b")
+        p = str(tmp_path / "sym")
+        t.to_file(p)
+        t2 = SymbolTable.from_file(p)
+        assert t2.symbols == ["<eps>", "a", "b"]
+        assert t2.get("b") == 2
+        assert t2.get(1) == "a"
+
+
+class TestTextGrid:
+    def test_parse(self, tmp_path):
+        tg = """File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = 2.5
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 2.5
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0
+            xmax = 2.5
+            text = "hello"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 2.5
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0
+            xmax = 1.25
+            text = "HH"
+        intervals [2]:
+            xmin = 1.25
+            xmax = 2.5
+            text = "OW"
+"""
+        p = str(tmp_path / "a.TextGrid")
+        open(p, "w").write(tg)
+        entries = read_textgrid(p)
+        phones = [e for e in entries if e.tier == "phones"]
+        assert [e.name for e in phones] == ["HH", "OW"]
+        assert phones[0].start == 0 and phones[0].stop == 1.25
+        words = [e for e in entries if e.tier == "words"]
+        assert words[0].name == "hello"
+
+
+class TestTokenizer:
+    def test_english_passthrough(self):
+        tt = TextTokenizer()
+        toks = tt.tokenize("Hello, World! nice DAY")
+        # reference keeps '_' word separators as tokens
+        assert toks == ["hello", "_", "world", "_", "nice", "_", "day"]
+
+    def test_tokenize_lty_with_dict(self, tmp_path):
+        p = str(tmp_path / "py.dict")
+        open(p, "w", encoding="utf-8").write("ni3\tn i3\nhao3\th ao3\n")
+        tt = TextTokenizer(p)
+        assert tt.tokenize_lty(["ni3", "hao3", "hello"]) == ["n", "i3", "h", "ao3", "hello"]
+
+    def test_pinyin_ascii_input(self, tmp_path):
+        """Romanized TONE3 pinyin flows through without pypinyin."""
+        p = str(tmp_path / "py.dict")
+        open(p, "w", encoding="utf-8").write("ni3\tn i3\nhao3\th ao3\n")
+        tt = TextTokenizer(p)
+        toks = tt.tokenize("ni3 hao3")
+        assert toks == ["ni3", "_", "hao3"]
+        assert tt.tokenize_lty(toks) == ["n", "i3", "_", "h", "ao3"]
+
+    def test_hanzi_without_pypinyin_raises(self):
+        from megatts2_tpu.text import tokenizer as tok_mod
+
+        if tok_mod._HAS_PYPINYIN:
+            pytest.skip("pypinyin installed")
+        tt = TextTokenizer()
+        with pytest.raises(RuntimeError):
+            tt.tokenize("你好")
+
+    def test_reference_dict_loads_if_mounted(self):
+        ref = "/root/reference/utils/mandarin_pinyin_to_mfa_lty.dict"
+        if not os.path.exists(ref):
+            pytest.skip("reference dict not mounted")
+        d = load_pinyin_dict(ref)
+        assert len(d) > 3000  # 4147 lines, ~3.3k unique pinyin keys
+        assert "ni3" in d

@@ -1,0 +1,189 @@
+"""Model-level tests: MegaG forward/s2_latent, PLM/ADM forward + scan infer,
+discriminator, HiFiGAN shapes.  Tiny configs keep CPU compile times sane."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatts2_tpu.config import (
+    DiscriminatorConfig,
+    HiFiGANConfig,
+    MegaADMConfig,
+    MegaGConfig,
+    MegaPLMConfig,
+    MRTEConfig,
+    VQPEConfig,
+)
+from megatts2_tpu.models import (
+    Discriminator,
+    HiFiGAN,
+    MegaADM,
+    MegaG,
+    MegaPLM,
+    adm_infer,
+    plm_infer,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+TINY_MRTE = MRTEConfig(
+    mel_bins=12, mel_stride=4, mel_n_layer=2, mel_n_stack=1, mel_n_block=1,
+    content_ff_dim=32, content_n_heads=2, content_n_layers=1, hidden_size=16,
+    phone_vocab_size=40, dropout=0.0,
+)
+TINY_VQPE = VQPEConfig(
+    mel_bins=6, stride=8, hidden_size=16, kernel_size=3, n_layers=1, n_stacks=1,
+    n_blocks=1, vq_bins=16, vq_dim=8,
+)
+TINY_G = MegaGConfig(
+    mrte=TINY_MRTE, vqpe=TINY_VQPE, kernel_size=3, hidden_size=16,
+    decoder_n_stack=1, decoder_n_block=1,
+)
+TINY_PLM = MegaPLMConfig(n_layers=2, n_heads=2, vq_dim=8, tc_latent_dim=16, vq_bins=16, dropout=0.0)
+TINY_ADM = MegaADMConfig(n_layers=2, n_heads=2, emb_dim=8, tc_latent_dim=16, tc_emb_dim=8, dropout=0.0)
+
+
+class TestMegaG:
+    def _batch(self):
+        rng = np.random.RandomState(0)
+        B, Tp, Tm = 2, 6, 32
+        phone = jnp.asarray(rng.randint(0, 40, (B, Tp)))
+        phone_lens = jnp.asarray([4, 6], jnp.int32)
+        dur = jnp.asarray(rng.randint(2, 8, (B, Tp)), jnp.int32)
+        dur = jnp.where(jnp.arange(Tp)[None] < phone_lens[:, None], dur, 0)
+        # make total durations <= Tm
+        mel_vqpe = jnp.asarray(rng.randn(B, Tm, 12).astype(np.float32))
+        mel_mrte = jnp.asarray(rng.randn(B, 40, 12).astype(np.float32))
+        return dur, phone, phone_lens, mel_mrte, mel_vqpe
+
+    def test_forward(self):
+        g = MegaG(TINY_G)
+        args = self._batch()
+        variables = g.init({"params": KEY, "vq": KEY}, *args)
+        (mel_hat, commit, vq_loss), mut = g.apply(
+            variables, *args, train=True, rngs={"vq": KEY, "dropout": KEY},
+            mutable=["vq_stats"],
+        )
+        assert mel_hat.shape == (2, 32, 12)
+        assert np.isfinite(np.asarray(mel_hat)).all()
+        assert float(commit) >= 0 and float(vq_loss) >= 0
+
+    def test_s2_latent(self):
+        g = MegaG(TINY_G)
+        dur, phone, phone_lens, mel_mrte, mel_vqpe = self._batch()
+        variables = g.init(
+            {"params": KEY, "vq": KEY}, dur, phone, phone_lens, mel_mrte, mel_vqpe
+        )
+        tc, codes = g.apply(
+            variables, phone, phone_lens, mel_mrte, mel_vqpe, method=MegaG.s2_latent
+        )
+        assert tc.shape == (2, 6, 16)
+        assert codes.shape == (1, 2, 4)  # (n_q, B, ceil(32/8))
+        assert int(codes.max()) < 16
+
+    def test_grads_flow(self):
+        g = MegaG(TINY_G)
+        args = self._batch()
+        variables = g.init({"params": KEY, "vq": KEY}, *args)
+
+        def loss_fn(params):
+            (mel_hat, commit, vq_loss), _ = g.apply(
+                {"params": params, "vq_stats": variables["vq_stats"]},
+                *args, train=True, rngs={"vq": KEY, "dropout": KEY},
+                mutable=["vq_stats"],
+            )
+            return jnp.abs(mel_hat).mean() + commit + vq_loss
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
+
+
+class TestPLM:
+    def test_forward_and_infer_shapes(self):
+        B, T = 2, 10
+        rng = np.random.RandomState(1)
+        tc = jnp.asarray(rng.randn(B, T, 16).astype(np.float32))
+        codes = jnp.asarray(rng.randint(0, 16, (B, T + 1)))
+        lens = jnp.asarray([T, T], jnp.int32)
+        plm = MegaPLM(TINY_PLM)
+        variables = plm.init(KEY, tc, codes, lens)
+        logits, target = plm.apply(variables, tc, codes, lens)
+        assert logits.shape == (B, T, 16)
+        assert target.shape == (B, T)
+        out = plm_infer(variables["params"], TINY_PLM, tc)
+        assert out.shape == (B, T)
+        assert int(out.max()) < 16 and int(out.min()) >= 0
+
+    def test_infer_matches_full_recompute(self):
+        """KV-cached scan infer == the reference's full-prefix greedy loop
+        (megatts2.py:165-181) computed naively with the same params."""
+        B, T = 1, 6
+        rng = np.random.RandomState(2)
+        tc = jnp.asarray(rng.randn(B, T, 16).astype(np.float32))
+        plm = MegaPLM(TINY_PLM)
+        variables = plm.init(
+            KEY, tc, jnp.zeros((B, T + 1), jnp.int32), jnp.asarray([T], jnp.int32)
+        )
+        fast = np.asarray(plm_infer(variables["params"], TINY_PLM, tc))
+
+        # naive full-prefix loop (no cache), greedy
+        p_code = [TINY_PLM.bos_id]
+        for t in range(T):
+            codes_arr = jnp.asarray([p_code + [0] * (T - len(p_code))], jnp.int32)
+            # forward over prefix t+1 with causal mask
+            pref = jnp.asarray([p_code], jnp.int32)  # (1, t+1)
+            logits, _ = plm.apply(
+                variables,
+                tc[:, : t + 1],
+                jnp.concatenate([pref, jnp.zeros((1, 1), jnp.int32)], axis=1),
+                jnp.asarray([t + 1], jnp.int32),
+            )
+            p_code.append(int(jnp.argmax(logits[0, -1])))
+        np.testing.assert_array_equal(fast[0], np.array(p_code[1:]))
+
+
+class TestADM:
+    def test_forward_and_infer(self):
+        B, T = 2, 7
+        rng = np.random.RandomState(3)
+        tc = jnp.asarray(rng.randn(B, T, 16).astype(np.float32))
+        dur = jnp.asarray(rng.randint(1, 9, (B, T + 1, 1)).astype(np.float32))
+        lens = jnp.asarray([T, T], jnp.int32)
+        adm = MegaADM(TINY_ADM)
+        variables = adm.init(KEY, tc, dur, lens)
+        pred, target = adm.apply(variables, tc, dur, lens)
+        assert pred.shape == (B, T) and target.shape == (B, T)
+        out = adm_infer(variables["params"], TINY_ADM, tc)
+        assert out.shape == (B, T)
+        assert int(out.min()) >= 1 and int(out.max()) <= 128
+
+
+class TestDiscriminator:
+    def test_forward(self):
+        cfg = DiscriminatorConfig(time_lengths=(8, 16), freq_length=12, hidden_size=8)
+        d = Discriminator(cfg)
+        mel = jnp.asarray(np.random.RandomState(4).randn(2, 40, 12).astype(np.float32))
+        variables = d.init(KEY, mel, starts=[0, 0])
+        out, _ = d.apply(
+            d.init(KEY, mel, starts=[0, 0]), mel, starts=[3, 5], train=True,
+            mutable=["batch_stats"], rngs={"dropout": KEY},
+        )
+        assert out["y"].shape == (2, 1)
+        assert np.isfinite(np.asarray(out["y"])).all()
+
+
+class TestHiFiGAN:
+    def test_upsampling_factor(self):
+        cfg = HiFiGANConfig(
+            in_channels=12, upsample_initial_channel=16,
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        )
+        v = HiFiGAN(cfg)
+        mel = jnp.asarray(np.random.RandomState(5).randn(1, 20, 12).astype(np.float32))
+        variables = v.init(KEY, mel)
+        wav = v.apply(variables, mel)
+        assert wav.shape == (1, 20 * 16)
+        assert np.abs(np.asarray(wav)).max() <= 1.0

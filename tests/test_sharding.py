@@ -1,0 +1,151 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+DP grad-equivalence, TP param sharding rules, VQ codebook replica
+consistency under GSPMD, and the driver's dryrun_multichip path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from megatts2_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"conftest should force 8 CPU devices, got {len(devs)}"
+    return devs
+
+
+class TestMesh:
+    def test_mesh_shapes(self, devices):
+        mesh = make_mesh(n_model=2)
+        assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+        mesh = make_mesh()
+        assert mesh.shape == {DATA_AXIS: 8, MODEL_AXIS: 1}
+
+    def test_shard_batch_puts_on_data_axis(self, devices):
+        mesh = make_mesh()
+        batch = {"x": np.zeros((8, 4), np.float32), "l": np.zeros((8,), np.int32)}
+        sb = shard_batch(batch, mesh)
+        assert sb["x"].sharding.spec == P(DATA_AXIS, None)
+        assert sb["l"].sharding.spec == P(DATA_AXIS)
+
+
+class TestTPRules:
+    def test_transformer_projection_specs(self, devices):
+        from megatts2_tpu.nn import TransformerEncoder
+
+        mesh = make_mesh(n_model=2)
+        enc = TransformerEncoder(dim=16, ff_dim=32, num_layers=1, n_heads=2)
+        params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))["params"]
+        sh = param_shardings(params, mesh)
+        l0 = sh["layers_0"]
+        assert l0["attn"]["w_q"]["kernel"].spec == P(None, MODEL_AXIS)
+        assert l0["attn"]["w_q"]["bias"].spec == P(MODEL_AXIS)
+        assert l0["attn"]["out_proj"]["kernel"].spec == P(MODEL_AXIS, None)
+        assert l0["attn"]["out_proj"]["bias"].spec == P()
+        assert l0["ff_linear1"]["kernel"].spec == P(None, MODEL_AXIS)
+        assert l0["ff_linear2"]["kernel"].spec == P(MODEL_AXIS, None)
+        assert l0["norm1"]["scale"].spec == P()
+
+    def test_tp_forward_matches_replicated(self, devices):
+        """Same forward output with TP-sharded vs replicated params."""
+        from megatts2_tpu.nn import TransformerEncoder
+
+        enc = TransformerEncoder(dim=16, ff_dim=32, num_layers=2, n_heads=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 16).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+        ref = enc.apply({"params": params}, x)
+
+        mesh = make_mesh(n_model=2)
+        with mesh:
+            sh_params = jax.device_put(params, param_shardings(params, mesh))
+            x_sh = jax.device_put(x, data_sharding(mesh, 3))
+            out = jax.jit(lambda p, x: enc.apply({"params": p}, x))(sh_params, x_sh)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+class TestDPGradEquivalence:
+    def test_sharded_step_equals_single_device(self, devices):
+        """One PLM train step on the 8-device data mesh == unsharded step
+        (the GSPMD replacement for DDP grad all-reduce)."""
+        from megatts2_tpu.config import MegaPLMConfig, TrainConfig
+        from megatts2_tpu.training import create_plm_state, make_plm_train_step
+
+        cfg = MegaPLMConfig(n_layers=1, n_heads=2, vq_dim=8, tc_latent_dim=8,
+                            vq_bins=16, dropout=0.0)
+        tcfg = TrainConfig(max_steps=10, warmup_steps=1, train_dtype="float32")
+        rng = np.random.RandomState(0)
+        B, T = 8, 6
+        batch = {
+            "tc_latents": rng.randn(B, T, 8).astype(np.float32),
+            "p_codes": rng.randint(0, 16, (B, T + 1)).astype(np.int32),
+            "lens": np.full((B,), T, np.int32),
+        }
+        state, tx = create_plm_state(jax.random.PRNGKey(0), cfg, tcfg, batch)
+        step_fn, _ = make_plm_train_step(cfg, tcfg, tx)
+
+        ref_state, ref_metrics = jax.jit(step_fn)(state, batch)
+
+        mesh = make_mesh()  # 8-way data parallel
+        with mesh:
+            sb = shard_batch(batch, mesh)
+            dp_state, dp_metrics = jax.jit(step_fn)(state, sb)
+        np.testing.assert_allclose(
+            float(ref_metrics["loss"]), float(dp_metrics["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(dp_state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestVQReplicaConsistency:
+    def test_vq_state_identical_across_replicas(self, devices):
+        """Under GSPMD the VQ EMA state is computed from the global batch —
+        fetching it from any device yields identical values (the property the
+        reference enforces with rank-0 broadcasts, core_vq.py:151,169)."""
+        from megatts2_tpu.quantization import VectorQuantization
+
+        vq = VectorQuantization(dim=4, codebook_size=8, kmeans_init=True, kmeans_iters=3)
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 16, 4).astype(np.float32))
+        variables = vq.init({"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)}, x)
+
+        mesh = make_mesh()
+        with mesh:
+            x_sh = jax.device_put(x, data_sharding(mesh, 3))
+
+            @jax.jit
+            def step(v, x):
+                (_, codes, _), mut = vq.apply(
+                    v, x, train=True, rngs={"vq": jax.random.PRNGKey(2)},
+                    mutable=["vq_stats"],
+                )
+                return codes, mut["vq_stats"]
+
+            codes, stats = step(variables, x_sh)
+            embed = stats["_codebook"]["embed"]
+            # embed must be fully replicated — identical on every device
+            shards = [np.asarray(s.data) for s in embed.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self, devices):
+        import sys
+
+        sys.path.insert(0, ".")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
