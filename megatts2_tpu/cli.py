@@ -62,7 +62,6 @@ def main(argv=None):
     from .parallel import make_mesh
     from .training import run_training
     from .training.checkpoints import latest_checkpoint, restore_checkpoint
-    from .training.train_loop import run_training
 
     dcfg = _data_cfg(args.config)
     ds_path = dcfg.get("ds_path", "data/ds/")

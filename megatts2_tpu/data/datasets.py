@@ -76,10 +76,19 @@ class GANBatchBuilder:
         n_same_spk_samples: int = 10,
         seed: int = 0,
         max_timbre_frames: int = 2048,
+        use_native: bool = True,
     ):
         self.manifest = manifest
         self.collector = TokensCollector(os.path.join(ds_path, "unique_text_tokens.k2symbols"))
         self.reader = FeatureReader()
+        self.native = None
+        if use_native:
+            try:  # C++ mmap/thread-pool loader (native/dataloader.cpp)
+                from .native_loader import NativeFeatureReader
+
+                self.native = NativeFeatureReader()
+            except Exception:
+                self.native = None
         self.spk2idx = manifest.speaker_index()
         self.n_same_spk_samples = n_same_spk_samples
         self.rng = np.random.RandomState(seed)
@@ -98,9 +107,18 @@ class GANBatchBuilder:
         )
         T = max(int(tgt_lens.max()), 128)
         T = round_up(T, MEL_PAD_MULTIPLE)
-        mel_targets = np.zeros((len(cuts), T, 80), np.float32)
-        for i, c in enumerate(cuts):
-            mel_targets[i, : tgt_lens[i]] = self._read_mel(c)[: tgt_lens[i]]
+        same_shard = len({c.feats_path for c in cuts}) == 1
+        if self.native is not None and same_shard:
+            mel_targets = self.native.read_batch(
+                cuts[0].feats_path,
+                [c.feats_offset for c in cuts],
+                tgt_lens.tolist(),
+                T,
+            )
+        else:
+            mel_targets = np.zeros((len(cuts), T, 80), np.float32)
+            for i, c in enumerate(cuts):
+                mel_targets[i, : tgt_lens[i]] = self._read_mel(c)[: tgt_lens[i]]
 
         # timbre mels: concat of 2..n random same-speaker utterances
         n_sample = self.rng.randint(2, self.n_same_spk_samples + 1)
@@ -108,8 +126,17 @@ class GANBatchBuilder:
         for c in cuts:
             pool = self.spk2idx[c.speaker]
             pick = self.rng.choice(pool, size=min(n_sample, len(pool)), replace=False)
-            mel = np.concatenate([self._read_mel(self.manifest[int(j)]) for j in pick])
-            mel = mel[: self.max_timbre_frames]
+            picks = [self.manifest[int(j)] for j in pick]
+            if self.native is not None and {p.feats_path for p in picks} == {cuts[0].feats_path}:
+                mel = self.native.concat_slices(
+                    picks[0].feats_path,
+                    [p.feats_offset for p in picks],
+                    [p.num_frames for p in picks],
+                    self.max_timbre_frames,
+                )
+            else:
+                mel = np.concatenate([self._read_mel(p) for p in picks])
+                mel = mel[: self.max_timbre_frames]
             timbres.append(mel)
             tlens.append(mel.shape[0])
         tmin = min(tlens)

@@ -48,7 +48,16 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with the leading axis sharded over 'data'."""
-    return {
-        k: jax.device_put(v, data_sharding(mesh, np.ndim(v))) for k, v in batch.items()
-    }
+    """Device-put a host batch with the leading axis sharded over 'data'.
+    Batches whose leading axis is not divisible by the data-axis size fall
+    back to replication (correct, just not data-parallel for that batch);
+    samplers should prefer emitting divisible batch sizes."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(v):
+        shape = np.shape(v)
+        if shape and shape[0] % n_data == 0:
+            return jax.device_put(v, data_sharding(mesh, len(shape)))
+        return jax.device_put(v, NamedSharding(mesh, P()))
+
+    return {k: put(v) for k, v in batch.items()}

@@ -155,6 +155,7 @@ class DatasetMaker:
         from .config import load_gan_config
         from .data import GANBatchBuilder
         from .models import MegaG
+        from .training.checkpoints import load_generator_from_orbax
         from .training.convert import convert_megag, load_torch_state_dict
 
         g_cfg, _, _ = load_gan_config(self.args.generator_config)
@@ -163,11 +164,8 @@ class DatasetMaker:
             g_vars = convert_megag(
                 load_torch_state_dict(self.args.generator_ckpt, prefix="G."), g_cfg
             )
-        else:  # orbax checkpoint of a GANTrainState
-            from .training.checkpoints import restore_checkpoint
-            raise NotImplementedError(
-                "load orbax GAN state via training.checkpoints and pass params here"
-            )
+        else:  # orbax checkpoint directory of a GANTrainState
+            g_vars = load_generator_from_orbax(self.args.generator_ckpt)
 
         ds = self.args.ds_path
         cuts_all = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))

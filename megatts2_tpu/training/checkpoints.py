@@ -40,6 +40,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps)[1])
 
 
+def restore_pytree(path: str) -> Any:
+    """Restore a checkpoint as a raw pytree (no target template)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_generator_from_orbax(path: str) -> dict:
+    """Load a GANTrainState checkpoint (dir of step_N/ or a step dir) and
+    return MegaG apply-variables {'params', 'vq_stats'}."""
+    if not os.path.basename(path).startswith("step_"):
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        path = latest
+    tree = restore_pytree(path)
+    return {"params": tree["g_params"], "vq_stats": tree["vq_stats"]}
+
+
 def restore_checkpoint(path: str, target: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
