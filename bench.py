@@ -33,6 +33,9 @@ TARGET_RTF = 0.05  # BASELINE.json north-star (v5e-8)
 
 
 def main():
+    from megatts2_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     max_frames = 512  # ~8.2 s of audio per utterance
     Tp = 64  # phones
@@ -73,12 +76,15 @@ def main():
             phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
         )
         jax.block_until_ready(wav)
+        # force completion via a tiny host transfer — block_until_ready alone
+        # has proven unreliable on the experimental axon platform
+        np.asarray(wav[:, -1])
         return wav, n_frames
 
     # compile + warmup
     wav, n_frames = run()
     # timed runs
-    iters = 3
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         wav, n_frames = run()

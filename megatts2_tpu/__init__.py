@@ -18,6 +18,8 @@ sharding, bf16 matmuls on the MXU; it is not a port of the reference's
 PyTorch code.
 """
 
+import os
+
 __version__ = "0.1.0"
 
 HIFIGAN_SR = 16000
@@ -26,3 +28,16 @@ HIFIGAN_WIN_LENGTH = 1024
 HIFIGAN_MEL_CHANNELS = 80
 HIFIGAN_NFFT = 1024
 HIFIGAN_MAX_FREQ = 8000
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (big win on this target:
+    full-size synthesis graphs take minutes to compile remotely)."""
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "MEGATTS2_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/megatts2_tpu_xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--trace_dir", default=None, help="jax.profiler trace output")
     p.add_argument("--n_model", type=int, default=1, help="tensor-parallel axis size")
+    p.add_argument("--hifigan_ckpt", default=None,
+                   help="torch HiFi-GAN ckpt for vocoded validation audio")
     return p.parse_args(argv)
 
 
@@ -47,6 +49,9 @@ def _data_cfg(config_path: str) -> dict:
 
 
 def main(argv=None):
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     stage = args.stage or infer_stage(args.config)
     ckpt_dir = args.ckpt_dir or os.path.join("checkpoints", stage)
@@ -104,12 +109,26 @@ def main(argv=None):
             state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
         step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
         eval_fn = make_gan_eval_step(g_cfg)
+        from .training.gan_trainer import make_gan_val_artifacts
+
+        hifi_params = None
+        if args.hifigan_ckpt:
+            from .config import HiFiGANConfig
+            from .training.convert import convert_hifigan, load_torch_state_dict
+
+            hifi_params = convert_hifigan(
+                load_torch_state_dict(args.hifigan_ckpt), HiFiGANConfig()
+            )
+        artifact_fn = make_gan_val_artifacts(
+            g_cfg, os.path.join(args.log_dir, "val_artifacts"), hifi_params
+        )
         run_training(
             "gan", state, step_fn, train_f, tcfg.max_steps,
             log_dir=args.log_dir, ckpt_dir=ckpt_dir,
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
             eval_step=lambda s, b: {"loss_re": eval_fn(s, b)["loss_re"]},
             valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
+            artifact_fn=artifact_fn,
         )
     elif stage == "plm":
         from .config import load_plm_config

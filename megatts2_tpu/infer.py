@@ -36,6 +36,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     from .config import (
         HiFiGANConfig,

@@ -137,6 +137,13 @@ class TransformerEncoderLayer(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
+    """N-layer pre-LN encoder.  With ``scan_layers=True`` (default) the
+    layers run under ``nn.scan`` — all layers share ONE compiled body with
+    parameters stacked on a leading axis.  This is the TPU-first shape:
+    compile time is O(1) in depth and the stacked weights feed the MXU as
+    one big tensor.  ``scan_layers=False`` keeps per-layer parameters
+    (params under ``layers_{i}``) for debugging/ablation."""
+
     dim: int
     ff_dim: int
     num_layers: int
@@ -146,6 +153,7 @@ class TransformerEncoder(nn.Module):
     final_norm: bool = False
     dtype: Any = jnp.float32
     decode: bool = False
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(
@@ -163,17 +171,37 @@ class TransformerEncoder(nn.Module):
             from ..ops.masks import causal_mask
 
             mask = causal_mask(x.shape[1])
-        for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
-                self.dim,
-                self.ff_dim,
-                conv_ff=self.conv_ff,
-                n_heads=self.n_heads,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                decode=self.decode,
-                name=f"layers_{i}",
-            )(x, mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
+
+        layer_kw = dict(
+            conv_ff=self.conv_ff,
+            n_heads=self.n_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            decode=self.decode,
+        )
+        if self.scan_layers:
+            def body(layer: TransformerEncoderLayer, carry: jnp.ndarray):
+                y = layer(
+                    carry, mask=mask, deterministic=deterministic,
+                    max_decode_len=max_decode_len,
+                )
+                return y, ()
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(
+                TransformerEncoderLayer(self.dim, self.ff_dim, name="layers", **layer_kw),
+                x,
+            )
+        else:
+            for i in range(self.num_layers):
+                x = TransformerEncoderLayer(
+                    self.dim, self.ff_dim, name=f"layers_{i}", **layer_kw
+                )(x, mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

@@ -23,13 +23,15 @@ _ROW = ("out_proj", "ff_linear2", "ff_conv2")
 
 
 def _spec_for(path: str, ndim: int) -> P:
+    """Specs are expressed from the trailing axes so they hold for both
+    plain params and scan-stacked params with a leading depth axis
+    (Dense kernel (in,out) or (L,in,out); bias (out,) or (L,out))."""
     is_kernel = path.endswith("/kernel")
     if any(f"/{m}/" in path for m in _COLUMN):
-        if is_kernel:  # Dense (in, out) or Conv (k, in, out): shard out
-            return P(*([None] * (ndim - 1)), MODEL_AXIS)
-        return P(MODEL_AXIS)  # bias (out,)
+        # column-parallel: shard output features (always the last axis)
+        return P(*([None] * (ndim - 1)), MODEL_AXIS)
     if any(f"/{m}/" in path for m in _ROW):
-        if is_kernel:  # shard the contracting (input) dim
+        if is_kernel:  # row-parallel: shard the contracting (input) dim
             return P(*([None] * (ndim - 2)), MODEL_AXIS, None)
         return P()  # bias after the all-reduce stays replicated
     return P()

@@ -133,17 +133,25 @@ def _encoder_layer(sd, name, conv_ff: bool):
     return out
 
 
-def _encoder(sd, name, n_layers, conv_ff):
+def _encoder(sd, name, n_layers, conv_ff, scan_layers: bool = True):
+    """Per-layer torch weights → our encoder params.  With the default
+    scanned encoder (nn/transformer.py), per-layer tensors are STACKED on a
+    leading depth axis under a single 'layers' subtree."""
+    per_layer = [_encoder_layer(sd, f"{name}.layers.{i}", conv_ff) for i in range(n_layers)]
+    if not scan_layers:
+        return {f"layers_{i}": p for i, p in enumerate(per_layer)}
+    import jax
+
     return {
-        f"layers_{i}": _encoder_layer(sd, f"{name}.layers.{i}", conv_ff)
-        for i in range(n_layers)
+        "layers": jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *per_layer)
     }
 
 
 def _vq_stats(sd, name, n_q=1):
     out = {}
     for i in range(n_q):
-        cb = f"{name}.vq.layers.{i}._codebook"
+        # reference path: vqpe.vq (RVQ facade) .vq (RVQization) .layers.i
+        cb = f"{name}.vq.vq.layers.{i}._codebook"
         out[f"layers_{i}"] = {
             "_codebook": {
                 "inited": np.float32(sd[f"{cb}.inited"].reshape(())),

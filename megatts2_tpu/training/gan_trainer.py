@@ -188,6 +188,52 @@ def make_gan_train_step(
     return train_step
 
 
+def make_gan_val_artifacts(
+    g_cfg: MegaGConfig,
+    out_dir: str,
+    hifi_params=None,
+    hifi_cfg=None,
+):
+    """Validation artifacts, mirroring reference ``trainer.py:154-188``:
+    a target-vs-output mel figure per validation, plus vocoded target/output
+    audio when HiFi-GAN params are provided — but written to ``out_dir``
+    (and picked up by the JSONL/TensorBoard logger) instead of rank-0
+    TensorBoard calls, and vocoding on-device instead of CPU."""
+    import os
+
+    import numpy as np
+
+    from ..utils.plotting import save_spectrogram_plot
+
+    g = MegaG(g_cfg)
+    eval_step = make_gan_eval_step(g_cfg)
+    os.makedirs(out_dir, exist_ok=True)
+
+    vocoder = None
+    if hifi_params is not None:
+        from ..models import HiFiGAN
+
+        hifi = HiFiGAN(hifi_cfg) if hifi_cfg is not None else HiFiGAN()
+        vocoder = jax.jit(lambda mel: hifi.apply({"params": hifi_params}, mel))
+
+    def artifact_fn(state: GANTrainState, batch: dict, step: int):
+        out = jax.jit(eval_step)(state, batch)
+        y = np.asarray(batch["mel_targets"][0], np.float32)
+        y_hat = np.asarray(out["y_hat"][0], np.float32)
+        save_spectrogram_plot(
+            os.path.join(out_dir, f"mel_step{step}"), y.T, y_hat.T
+        )
+        if vocoder is not None:
+            from ..utils.audio import save_wav
+
+            wav_t = np.asarray(vocoder(jnp.asarray(y)[None]))[0]
+            wav_o = np.asarray(vocoder(jnp.asarray(y_hat)[None]))[0]
+            save_wav(os.path.join(out_dir, f"audio_target_step{step}.wav"), wav_t)
+            save_wav(os.path.join(out_dir, f"audio_hat_step{step}.wav"), wav_o)
+
+    return artifact_fn
+
+
 def make_gan_eval_step(g_cfg: MegaGConfig):
     g = MegaG(g_cfg)
 

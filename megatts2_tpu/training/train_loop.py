@@ -35,6 +35,7 @@ def run_training(
     mesh=None,
     trace_dir: Optional[str] = None,
     keep_ckpts: int = 5,
+    artifact_fn: Optional[Callable] = None,
 ):
     mesh = mesh or make_mesh()
     logger = MetricsLogger(log_dir, name)
@@ -60,13 +61,21 @@ def run_training(
                 logger.log(step, m, prefix="train/")
             if val_every and step % val_every == 0 and jit_eval and valid_loader_factory:
                 vals: Dict[str, list] = {}
+                first_batch = None
                 for vb in valid_loader_factory(epoch):
+                    if first_batch is None:
+                        first_batch = vb
                     out = jit_eval(state, shard_batch(vb, mesh))
                     for k, v in out.items():
                         if np.ndim(v) == 0:
                             vals.setdefault(k, []).append(float(np.asarray(v)))
                 vm = {k: float(np.mean(v)) for k, v in vals.items()}
                 logger.log(step, vm, prefix="val/")
+                if artifact_fn is not None and first_batch is not None:
+                    try:
+                        artifact_fn(state, first_batch, step)
+                    except Exception as e:  # artifacts must never kill training
+                        print(f"[val artifacts] skipped: {e}")
                 if ckpt_dir:
                     save_checkpoint(ckpt_dir, state, step, keep=keep_ckpts)
         epoch += 1

@@ -45,17 +45,17 @@ class TestTPRules:
         from megatts2_tpu.nn import TransformerEncoder
 
         mesh = make_mesh(n_model=2)
-        enc = TransformerEncoder(dim=16, ff_dim=32, num_layers=1, n_heads=2)
+        enc = TransformerEncoder(dim=16, ff_dim=32, num_layers=2, n_heads=2)
         params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))["params"]
         sh = param_shardings(params, mesh)
-        l0 = sh["layers_0"]
-        assert l0["attn"]["w_q"]["kernel"].spec == P(None, MODEL_AXIS)
-        assert l0["attn"]["w_q"]["bias"].spec == P(MODEL_AXIS)
-        assert l0["attn"]["out_proj"]["kernel"].spec == P(MODEL_AXIS, None)
-        assert l0["attn"]["out_proj"]["bias"].spec == P()
-        assert l0["ff_linear1"]["kernel"].spec == P(None, MODEL_AXIS)
-        assert l0["ff_linear2"]["kernel"].spec == P(MODEL_AXIS, None)
-        assert l0["norm1"]["scale"].spec == P()
+        l = sh["layers"]  # scan-stacked: leading depth axis
+        assert l["attn"]["w_q"]["kernel"].spec == P(None, None, MODEL_AXIS)
+        assert l["attn"]["w_q"]["bias"].spec == P(None, MODEL_AXIS)
+        assert l["attn"]["out_proj"]["kernel"].spec == P(None, MODEL_AXIS, None)
+        assert l["attn"]["out_proj"]["bias"].spec == P()
+        assert l["ff_linear1"]["kernel"].spec == P(None, None, MODEL_AXIS)
+        assert l["ff_linear2"]["kernel"].spec == P(None, MODEL_AXIS, None)
+        assert l["norm1"]["scale"].spec == P()
 
     def test_tp_forward_matches_replicated(self, devices):
         """Same forward output with TP-sharded vs replicated params."""
