@@ -6,3 +6,6 @@ from .megatts import Megatts, synthesize
 from .mrte import MRTE
 from .plm import MegaPLM, plm_infer
 from .vqpe import VQProsodyEncoder
+from .pretrained import (adm_from_pretrained, hifigan_from_pretrained,
+                         megag_from_pretrained, megatts_from_pretrained,
+                         plm_from_pretrained)

@@ -1,0 +1,119 @@
+"""``from_pretrained``-style loaders, mirroring the reference API surface
+(``MegaG.from_pretrained(ckpt, config)`` etc., models/megatts2.py:86-117,
+183-198, 277-292).  Each accepts EITHER a reference Lightning torch
+checkpoint (``.ckpt``/``.pt``/``.pth`` — converted via training/convert.py,
+prefixes ``G.``/``plm.``/``adm.`` stripped) OR an orbax checkpoint directory
+produced by this framework's trainers.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+from ..config import (
+    HiFiGANConfig,
+    MegaADMConfig,
+    MegaGConfig,
+    MegaPLMConfig,
+    load_adm_config,
+    load_gan_config,
+    load_plm_config,
+)
+
+
+def _is_torch(path: str) -> bool:
+    return path.endswith((".ckpt", ".pt", ".pth"))
+
+
+def megag_from_pretrained(ckpt: str, config: str) -> Tuple[MegaGConfig, dict]:
+    """→ (cfg, variables {'params','vq_stats'}) for MegaG.apply."""
+    g_cfg, _, _ = load_gan_config(config)
+    if _is_torch(ckpt):
+        from ..training.convert import convert_megag, load_torch_state_dict
+
+        return g_cfg, convert_megag(load_torch_state_dict(ckpt, prefix="G."), g_cfg)
+    from ..training.checkpoints import load_generator_from_orbax
+
+    return g_cfg, load_generator_from_orbax(ckpt)
+
+
+def _lm_from_orbax(ckpt: str) -> dict:
+    from ..training.checkpoints import latest_checkpoint, restore_pytree
+    import os
+
+    if not os.path.basename(ckpt).startswith("step_"):
+        latest = latest_checkpoint(ckpt)
+        if latest is None:
+            raise FileNotFoundError(f"no step_* checkpoints under {ckpt}")
+        ckpt = latest
+    return restore_pytree(ckpt)["params"]
+
+
+def plm_from_pretrained(ckpt: str, config: str) -> Tuple[MegaPLMConfig, dict]:
+    cfg, _ = load_plm_config(config)
+    if _is_torch(ckpt):
+        from ..training.convert import convert_plm, load_torch_state_dict
+
+        return cfg, convert_plm(load_torch_state_dict(ckpt, prefix="plm."), cfg)
+    return cfg, _lm_from_orbax(ckpt)
+
+
+def adm_from_pretrained(ckpt: str, config: str) -> Tuple[MegaADMConfig, dict]:
+    cfg, _ = load_adm_config(config)
+    if _is_torch(ckpt):
+        from ..training.convert import convert_adm, load_torch_state_dict
+
+        return cfg, convert_adm(load_torch_state_dict(ckpt, prefix="adm."), cfg)
+    return cfg, _lm_from_orbax(ckpt)
+
+
+def hifigan_from_pretrained(
+    ckpt: str, cfg: Optional[HiFiGANConfig] = None
+) -> Tuple[HiFiGANConfig, dict]:
+    cfg = cfg or HiFiGANConfig()
+    from ..training.convert import convert_hifigan, load_torch_state_dict
+
+    return cfg, convert_hifigan(load_torch_state_dict(ckpt), cfg)
+
+
+def megatts_from_pretrained(
+    g_ckpt: str,
+    g_config: str,
+    plm_ckpt: str,
+    plm_config: str,
+    adm_ckpt: str,
+    adm_config: str,
+    symbol_table: str,
+    hifigan_ckpt: Optional[str] = None,
+    **kwargs: Any,
+):
+    """Reference ``Megatts(...)`` constructor shape (megatts2.py:295-323) →
+    a ready inference driver.  Without ``hifigan_ckpt`` the vocoder is
+    randomly initialized (outputs are mel-faithful but audio is noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .hifigan import HiFiGAN
+    from .megatts import Megatts
+
+    g_cfg, g_vars = megag_from_pretrained(g_ckpt, g_config)
+    plm_cfg, plm_params = plm_from_pretrained(plm_ckpt, plm_config)
+    adm_cfg, adm_params = adm_from_pretrained(adm_ckpt, adm_config)
+    if hifigan_ckpt:
+        hifi_cfg, hifi_params = hifigan_from_pretrained(hifigan_ckpt)
+    else:
+        hifi_cfg = HiFiGANConfig()
+        hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, hifi_cfg.in_channels))
+        )["params"]
+    return Megatts(
+        g_vars=g_vars,
+        plm_params=plm_params,
+        adm_params=adm_params,
+        hifi_params=hifi_params,
+        symbol_table=symbol_table,
+        g_cfg=g_cfg,
+        plm_cfg=plm_cfg,
+        adm_cfg=adm_cfg,
+        hifi_cfg=hifi_cfg,
+        **kwargs,
+    )

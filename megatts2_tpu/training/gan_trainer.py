@@ -91,8 +91,19 @@ def make_gan_train_step(
         rng, drop_rng, vq_rng, win_rng = jax.random.split(state.rng, 4)
         T = batch["mel_targets"].shape[1]
         win_rngs = jax.random.split(win_rng, len(d_cfg.time_lengths))
+        # window start bounded by the longest TRUE mel length in the batch
+        # (reference clips within x_len.max(), dscrm.py:100-109), clamped so
+        # every window fits inside the padded buffer
+        max_len = jnp.minimum(
+            jnp.max(batch["mel_target_lens"]).astype(jnp.int32)
+            if "mel_target_lens" in batch
+            else jnp.int32(T),
+            T,
+        )
         starts = [
-            jax.random.randint(r, (), 0, max(T - wl, 0) + 1)
+            jax.random.randint(
+                r, (), 0, jnp.maximum(max_len - wl, 0) + 1
+            )
             for r, wl in zip(win_rngs, d_cfg.time_lengths)
         ]
 
