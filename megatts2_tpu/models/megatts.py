@@ -146,6 +146,45 @@ class Megatts:
         phones = self.tt.tokenize_lty(self.tt.tokenize(text))
         return np.array([self.token2idx[p] for p in phones], dtype=np.int32)
 
+    def synthesize_batch(
+        self,
+        texts: list,
+        mels_prompt: np.ndarray,  # (B, Tm, 80) — per-utterance prompt mels
+        mesh=None,
+    ) -> list:
+        """Production batched synthesis: pads phone sequences to a bucket,
+        runs the full jitted cascade once for the whole batch — optionally
+        sharded over a Mesh's 'data' axis (utterances across chips, per-chip
+        KV caches; the v5e-8 serving layout) — and returns per-utterance
+        trimmed waveforms."""
+        from ..data.sampler import round_up
+
+        ids = [self.phone_ids(t) for t in texts]
+        B = len(ids)
+        Tp = round_up(max(len(i) for i in ids), 16)
+        phone = np.zeros((B, Tp), np.int32)
+        for b, seq in enumerate(ids):
+            phone[b, : len(seq)] = seq
+        lens = np.asarray([len(i) for i in ids], np.int32)
+
+        args = [jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels_prompt)]
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            sharded = shard_batch(
+                {"phone": args[0], "lens": args[1], "mels": args[2]}, mesh
+            )
+            args = [sharded["phone"], sharded["lens"], sharded["mels"]]
+
+        wav, _, n_frames = synthesize(
+            self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
+            self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
+            *args, max_frames=self.max_frames, dtype=self.dtype,
+        )
+        wav = np.asarray(wav)
+        n = np.asarray(n_frames)
+        return [wav[b, : int(n[b]) * HIFIGAN_HOP_LENGTH] for b in range(B)]
+
     def __call__(self, wavs_dir: str, text: str, out_path: str = "test.wav") -> np.ndarray:
         wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
         mels = []

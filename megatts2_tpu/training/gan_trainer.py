@@ -225,7 +225,10 @@ def make_gan_val_artifacts(
         from ..models import HiFiGAN
 
         hifi = HiFiGAN(hifi_cfg) if hifi_cfg is not None else HiFiGAN()
-        vocoder = jax.jit(lambda mel: hifi.apply({"params": hifi_params}, mel))
+        # params passed as an argument (never closed over: baked-constant
+        # HLO breaks remote compilation on size)
+        voc_jit = jax.jit(lambda p, mel: hifi.apply({"params": p}, mel))
+        vocoder = lambda mel: voc_jit(hifi_params, mel)
 
     def artifact_fn(state: GANTrainState, batch: dict, step: int):
         out = jax.jit(eval_step)(state, batch)

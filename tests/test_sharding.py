@@ -141,6 +141,79 @@ class TestVQReplicaConsistency:
             np.testing.assert_array_equal(shards[0], s)
 
 
+class TestShardedInference:
+    def test_synthesize_batch_sharded_matches_unsharded(self, devices):
+        """Batched synthesis sharded over the 8-device data axis must equal
+        the unsharded result (the v5e-8 serving layout)."""
+        from megatts2_tpu.config import (
+            HiFiGANConfig,
+            MegaADMConfig,
+            MegaGConfig,
+            MegaPLMConfig,
+            MRTEConfig,
+            VQPEConfig,
+        )
+        from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+        from megatts2_tpu.models.megatts import synthesize
+
+        mrte = MRTEConfig(
+            mel_bins=80, mel_stride=16, mel_n_layer=1, mel_n_stack=1, mel_n_block=1,
+            content_ff_dim=32, content_n_heads=2, content_n_layers=1, hidden_size=16,
+            phone_vocab_size=40, dropout=0.0,
+        )
+        vqpe = VQPEConfig(mel_bins=20, stride=8, hidden_size=16, kernel_size=3,
+                          n_layers=1, n_stacks=1, n_blocks=1, vq_bins=32, vq_dim=8)
+        g_cfg = MegaGConfig(mrte=mrte, vqpe=vqpe, kernel_size=3, hidden_size=16,
+                            decoder_n_stack=1, decoder_n_block=1)
+        plm_cfg = MegaPLMConfig(n_layers=1, n_heads=2, vq_dim=8, tc_latent_dim=16,
+                                vq_bins=32, dropout=0.0)
+        adm_cfg = MegaADMConfig(n_layers=1, n_heads=2, emb_dim=8, tc_latent_dim=16,
+                                tc_emb_dim=8, dropout=0.0)
+        hifi_cfg = HiFiGANConfig(
+            in_channels=80, upsample_initial_channel=16,
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1,),),
+        )
+        key = jax.random.PRNGKey(0)
+        g = MegaG(g_cfg)
+        g_vars = jax.jit(g.init)(
+            {"params": key, "vq": key},
+            jnp.ones((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            jnp.asarray([8]), jnp.zeros((1, 64, 80)), jnp.zeros((1, 64, 80)),
+        )
+        plm_p = jax.jit(MegaPLM(plm_cfg).init)(
+            key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+        )["params"]
+        adm_p = jax.jit(MegaADM(adm_cfg).init)(
+            key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+        )["params"]
+        hifi_p = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 8, 80)))["params"]
+
+        rng = np.random.RandomState(0)
+        B = 8
+        phones = jnp.asarray(rng.randint(1, 40, (B, 8)), jnp.int32)
+        lens = jnp.full((B,), 8, jnp.int32)
+        mels = jnp.asarray(rng.randn(B, 64, 80).astype(np.float32))
+
+        def run(p, l, m):
+            return synthesize(
+                {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]},
+                plm_p, adm_p, hifi_p, g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+                p, l, m, max_frames=64, dtype=jnp.float32,
+            )
+
+        wav_ref, _, n_ref = run(phones, lens, mels)
+
+        mesh = make_mesh()
+        with mesh:
+            sb = shard_batch({"p": phones, "l": lens, "m": mels}, mesh)
+            wav_sh, _, n_sh = run(sb["p"], sb["l"], sb["m"])
+        np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_sh))
+        np.testing.assert_allclose(
+            np.asarray(wav_ref), np.asarray(wav_sh), atol=2e-5
+        )
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self, devices):
         import sys
