@@ -154,6 +154,7 @@ class TransformerEncoder(nn.Module):
     dtype: Any = jnp.float32
     decode: bool = False
     scan_layers: bool = True
+    remat: bool = False  # rematerialize layer activations (memory ↓, FLOPs ↑)
 
     @nn.compact
     def __call__(
@@ -187,6 +188,8 @@ class TransformerEncoder(nn.Module):
                 )
                 return y, ()
 
+            if self.remat and not self.decode:
+                body = nn.remat(body, prevent_cse=False)
             x, _ = nn.scan(
                 body,
                 variable_axes={"params": 0, "cache": 0},

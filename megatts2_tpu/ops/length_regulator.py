@@ -25,10 +25,12 @@ def regulate_length(
     ends = jnp.cumsum(durations, axis=-1)  # (B, T_in)
     total = ends[:, -1]  # (B,)
     frames = jnp.arange(max_out_len, dtype=jnp.int32)  # (T_out,)
-    # phone index owning each frame: number of ends <= f
-    idx = jax.vmap(
-        lambda e: jnp.searchsorted(e, frames, side="right")
-    )(ends)  # (B, T_out)
+    # phone index owning frame f = #(ends <= f).  A dense comparison sum is
+    # far faster on TPU than searchsorted's sequential binary-search scan
+    # (VPU-parallel (B, T_out, T_in) bools vs log2(T_in) dependent steps).
+    idx = jnp.sum(
+        ends[:, None, :] <= frames[None, :, None], axis=-1, dtype=jnp.int32
+    )  # (B, T_out)
     idx = jnp.clip(idx, 0, x.shape[1] - 1)
     out = jnp.take_along_axis(x, idx[..., None], axis=1)  # (B, T_out, D)
     valid = frames[None, :] < total[:, None]  # (B, T_out)
@@ -40,6 +42,8 @@ def gather_indices(durations: jnp.ndarray, max_out_len: int) -> jnp.ndarray:
     durations = durations.astype(jnp.int32)
     ends = jnp.cumsum(durations, axis=-1)
     frames = jnp.arange(max_out_len, dtype=jnp.int32)
-    idx = jax.vmap(lambda e: jnp.searchsorted(e, frames, side="right"))(ends)
+    idx = jnp.sum(
+        ends[:, None, :] <= frames[None, :, None], axis=-1, dtype=jnp.int32
+    )
     valid = frames[None, :] < ends[:, -1][:, None]
     return jnp.clip(idx, 0, durations.shape[1] - 1), valid
