@@ -145,6 +145,29 @@ class TestPLM:
 
 
 class TestADM:
+    def test_infer_matches_full_recompute(self):
+        """KV-cached scan == the reference's full-prefix greedy duration
+        loop (megatts2.py:257-275) computed naively with the same params."""
+        B, T = 1, 5
+        rng = np.random.RandomState(7)
+        tc = jnp.asarray(rng.randn(B, T, 16).astype(np.float32))
+        adm = MegaADM(TINY_ADM)
+        variables = adm.init(
+            KEY, tc, jnp.zeros((B, T + 1, 1)), jnp.asarray([T], jnp.int32)
+        )
+        fast = np.asarray(adm_infer(variables["params"], TINY_ADM, tc))
+
+        dts = [0.0]
+        for t in range(T):
+            dur_in = jnp.asarray(dts + [0.0] * (T + 1 - len(dts)), jnp.float32)[None, :, None]
+            pred, _ = adm.apply(
+                variables, tc[:, : t + 1], dur_in[:, : t + 2],
+                jnp.asarray([t + 1], jnp.int32),
+            )
+            dts.append(float(pred[0, -1]))
+        expect = np.clip((np.asarray(dts[1:]) + 0.5).astype(np.int32), 1, 128)
+        np.testing.assert_array_equal(fast[0], expect)
+
     def test_forward_and_infer(self):
         B, T = 2, 7
         rng = np.random.RandomState(3)
