@@ -84,7 +84,10 @@ def main(argv=None):
             def make(epoch):
                 sampler = DurationBucketSampler(manifests[split], **sampler_kwargs)
                 sampler.set_epoch(epoch)
-                builder = builder_cls(manifests[split], ds_path, **(builder_kwargs or {}))
+                kw = dict(builder_kwargs or {})
+                if builder_cls is not ADMBatchBuilder:
+                    kw.setdefault("seed", epoch)  # fresh same-spk sampling per epoch
+                builder = builder_cls(manifests[split], ds_path, **kw)
                 return DataLoader(sampler, builder)
 
             return make

@@ -1,0 +1,120 @@
+"""Fused attention kernel (Pallas, TPU).
+
+Row-block memory-efficient attention: for each (batch, head, q-block) grid
+cell the full K/V panel sits in VMEM, the (BLOCK_Q, Tk) logits never touch
+HBM, and padding/causal masks are computed IN-KERNEL from per-batch key
+lengths (scalar-prefetched) instead of materializing (B, H, Tq, Tk) mask
+tensors.  At this model's sequence lengths (≤ 4k) K/V panels are ≤ ~1 MB,
+so a single K loop beats a streaming flash decomposition while keeping the
+same O(T) memory property.
+
+Replaces the reference's torch ``F.scaled_dot_product_attention``
+(modules/transformer.py:52-53) on the prefill/training path; the AR decode
+path keeps its KV-cache scan (one-token attention is matmul-free-ish and
+latency-bound).
+
+Forward-only: wrap in ``jax.custom_vjp`` recompute if gradients through it
+are needed; the einsum path in ``nn/transformer.py`` remains the
+differentiable default.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Tq, H, Dh)
+    k: jnp.ndarray,  # (B, Tk, H, Dh)
+    v: jnp.ndarray,  # (B, Tk, H, Dh)
+    k_lens: jnp.ndarray | None = None,  # (B,) valid key lengths
+    causal: bool = False,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused masked attention; output (B, Tq, H, Dh) in q.dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Tq, H, Dh = q.shape
+    Tk = k.shape[1]
+    scale = Dh**-0.5
+
+    Tq_p = _round_up(Tq, block_q)
+    if Tq_p != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tq_p - Tq), (0, 0), (0, 0)))
+    # (B, H, T, Dh) layout for clean blocking
+    qh = jnp.transpose(q, (0, 2, 1, 3))
+    kh = jnp.transpose(k, (0, 2, 1, 3))
+    vh = jnp.transpose(v, (0, 2, 1, 3))
+    if k_lens is None:
+        k_lens = jnp.full((B,), Tk, jnp.int32)
+    k_lens = k_lens.astype(jnp.int32)
+
+    n_q = Tq_p // block_q
+
+    def kernel(klen_ref, q_ref, k_ref, v_ref, o_ref):
+        b = pl.program_id(0)
+        iq = pl.program_id(2)
+        qb = q_ref[0, 0].astype(jnp.float32)  # (BQ, Dh)
+        kb = k_ref[0, 0].astype(jnp.float32)  # (Tk, Dh)
+        vb = v_ref[0, 0].astype(jnp.float32)  # (Tk, Dh)
+        logits = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, Tk)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_q, Tk), 1)
+        mask = kpos < klen_ref[b]
+        if causal:
+            qpos = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, Tk), 0
+            )
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p, vb, preferred_element_type=jnp.float32) / denom
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, n_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, Dh), lambda b, h, i, *_: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Tk, Dh), lambda b, h, i, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Tk, Dh), lambda b, h, i, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, Dh), lambda b, h, i, *_: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq_p, Dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tq_p * Tk * Dh,
+            bytes_accessed=(qh.size + kh.size + vh.size) * 4,
+            transcendentals=B * H * Tq_p * Tk,
+        ),
+    )(k_lens, qh, kh, vh)
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :Tq]
+    return out

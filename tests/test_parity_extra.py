@@ -119,3 +119,39 @@ class TestVQDistanceKernel:
             ((x[:, None, :] - embed[None, :, :]) ** 2).sum(-1), axis=1
         )
         np.testing.assert_array_equal(np.asarray(codes), brute)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_einsum_attention(self, causal):
+        from megatts2_tpu.ops import flash_attention, make_attn_mask
+
+        B, T, H, Dh = 2, 37, 4, 16
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        lens = jnp.asarray([20, 37], jnp.int32)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh**-0.5)
+        logits = logits + make_attn_mask(lens, T, causal=causal)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+
+        got = flash_attention(q, k, v, k_lens=lens, causal=causal, block_q=16,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_padded_q_block(self):
+        """Tq not a multiple of block_q → output still trimmed/correct."""
+        from megatts2_tpu.ops import flash_attention
+
+        B, T, H, Dh = 1, 5, 2, 8
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        out = flash_attention(q, k, v, block_q=16, interpret=True)
+        assert out.shape == (B, T, H, Dh)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh**-0.5)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
