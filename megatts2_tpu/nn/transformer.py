@@ -48,6 +48,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     decode: bool = False  # enable the KV-cache single-token path
+    use_flash: bool = False  # Pallas fused attention on the self-attn path
 
     @nn.compact
     def __call__(
@@ -57,6 +58,8 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         max_decode_len: int = 0,
+        k_lens: Optional[jnp.ndarray] = None,  # (B,) for the flash path
+        causal: bool = False,
     ) -> jnp.ndarray:
         assert self.qkv_dim % self.n_heads == 0
         head_dim = self.qkv_dim // self.n_heads
@@ -89,6 +92,10 @@ class MultiHeadAttention(nn.Module):
                 pos[None, None, None, :] <= idx, jnp.float32(0.0), jnp.float32(NEG_INF)
             )
             att = _attend(qh, cache_k.value, cache_v.value, dec_mask)
+        elif self.use_flash and kv is None and k_lens is not None:
+            from ..ops.attention_pallas import flash_attention_vjp
+
+            att = flash_attention_vjp(qh, kh, vh, k_lens, causal)
         else:
             att = _attend(qh, kh, vh, mask)
 
@@ -105,6 +112,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     decode: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -113,11 +121,17 @@ class TransformerEncoderLayer(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         max_decode_len: int = 0,
+        k_lens: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = x + MultiHeadAttention(
-            self.dim, self.n_heads, self.dropout, dtype=self.dtype, decode=self.decode, name="attn"
-        )(ln("norm1")(x), mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
+            self.dim, self.n_heads, self.dropout, dtype=self.dtype,
+            decode=self.decode, use_flash=self.use_flash, name="attn",
+        )(
+            ln("norm1")(x), mask=mask, deterministic=deterministic,
+            max_decode_len=max_decode_len, k_lens=k_lens, causal=causal,
+        )
         if self.conv_ff:
             # norm -> residual Conv1d(k=5)-ReLU-Conv1d(k=5); note the reference
             # applies norm2 *outside* the residual here (transformer.py:96-99).
@@ -155,6 +169,7 @@ class TransformerEncoder(nn.Module):
     decode: bool = False
     scan_layers: bool = True
     remat: bool = False  # rematerialize layer activations (memory ↓, FLOPs ↑)
+    use_flash: bool = False  # Pallas fused attention (self-attn, non-decode)
 
     @nn.compact
     def __call__(
@@ -166,12 +181,22 @@ class TransformerEncoder(nn.Module):
         max_decode_len: int = 0,
     ) -> jnp.ndarray:
         mask = None
+        k_lens = None
+        flash = self.use_flash and not self.decode
         if x_lens is not None and not self.decode:
-            mask = make_attn_mask(x_lens, x.shape[1], causal=causal)
+            if flash:
+                k_lens = x_lens  # masks built in-kernel
+            else:
+                mask = make_attn_mask(x_lens, x.shape[1], causal=causal)
         elif causal and not self.decode:
-            from ..ops.masks import causal_mask
+            if flash:
+                k_lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            else:
+                from ..ops.masks import causal_mask
 
-            mask = causal_mask(x.shape[1])
+                mask = causal_mask(x.shape[1])
+        else:
+            flash = False  # unmasked non-decode path keeps einsum
 
         layer_kw = dict(
             conv_ff=self.conv_ff,
@@ -179,12 +204,13 @@ class TransformerEncoder(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             decode=self.decode,
+            use_flash=flash,
         )
         if self.scan_layers:
             def body(layer: TransformerEncoderLayer, carry: jnp.ndarray):
                 y = layer(
                     carry, mask=mask, deterministic=deterministic,
-                    max_decode_len=max_decode_len,
+                    max_decode_len=max_decode_len, k_lens=k_lens, causal=causal,
                 )
                 return y, ()
 
@@ -204,7 +230,10 @@ class TransformerEncoder(nn.Module):
             for i in range(self.num_layers):
                 x = TransformerEncoderLayer(
                     self.dim, self.ff_dim, name=f"layers_{i}", **layer_kw
-                )(x, mask=mask, deterministic=deterministic, max_decode_len=max_decode_len)
+                )(
+                    x, mask=mask, deterministic=deterministic,
+                    max_decode_len=max_decode_len, k_lens=k_lens, causal=causal,
+                )
         if self.final_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

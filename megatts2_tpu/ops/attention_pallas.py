@@ -13,9 +13,11 @@ Replaces the reference's torch ``F.scaled_dot_product_attention``
 path keeps its KV-cache scan (one-token attention is matmul-free-ish and
 latency-bound).
 
-Forward-only: wrap in ``jax.custom_vjp`` recompute if gradients through it
-are needed; the einsum path in ``nn/transformer.py`` remains the
-differentiable default.
+``flash_attention_vjp`` wraps the kernel in a ``jax.custom_vjp`` whose
+backward recomputes the probabilities with einsums in fp32 (classic
+recompute-in-bwd: the forward never materializes logits to HBM, the
+backward pays the standard attention math).  ``nn/transformer.py`` uses it
+when ``use_flash=True``.
 """
 from __future__ import annotations
 
@@ -118,3 +120,49 @@ def flash_attention(
     )(k_lens, qh, kh, vh)
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :Tq]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, einsum-recompute backward.
+# ---------------------------------------------------------------------------
+
+
+def _masked_probs(q, k, k_lens, causal):
+    Dh = q.shape[-1]
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (Dh**-0.5)
+    Tq, Tk = q.shape[1], k.shape[1]
+    kpos = jnp.arange(Tk)
+    mask = kpos[None, :] < k_lens[:, None]  # (B, Tk)
+    mask = mask[:, None, None, :]
+    if causal:
+        tri = kpos[None, :] <= jnp.arange(Tq)[:, None]  # (Tq, Tk)
+        mask = jnp.logical_and(mask, tri[None, None])
+    logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    return jax.nn.softmax(logits, axis=-1)  # (B, H, Tq, Tk) fp32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_vjp(q, k, v, k_lens, causal=False):
+    return flash_attention(q, k, v, k_lens=k_lens, causal=causal)
+
+
+def _fa_fwd(q, k, v, k_lens, causal):
+    return flash_attention(q, k, v, k_lens=k_lens, causal=causal), (q, k, v, k_lens)
+
+
+def _fa_bwd(causal, res, g):
+    q, k, v, k_lens = res
+    Dh = q.shape[-1]
+    p = _masked_probs(q, k, k_lens, causal)  # (B,H,Tq,Tk)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * (Dh**-0.5)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * (Dh**-0.5)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+flash_attention_vjp.defvjp(_fa_fwd, _fa_bwd)

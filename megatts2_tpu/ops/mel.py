@@ -145,11 +145,14 @@ def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _mel_kernel(frames_ref, win_ref, cos_ref, sin_ref, fb_ref, out_ref):
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: match XLA FFT
     x = frames_ref[0] * win_ref[:]  # (BLK, n_fft) windowing on VPU
-    re = jnp.dot(x, cos_ref[:], preferred_element_type=jnp.float32)  # MXU
-    im = jnp.dot(x, sin_ref[:], preferred_element_type=jnp.float32)  # MXU
+    re = jnp.dot(x, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(x, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32)  # MXU
+    mel = jnp.dot(mag, fb_ref[:], precision=hi, preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(jnp.clip(mel, min=LOG_CLIP))
 
 

@@ -155,3 +155,32 @@ class TestFlashAttention:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh**-0.5)
         ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashInEncoder:
+    def test_encoder_flash_fwd_bwd_parity(self):
+        """use_flash=True encoder == einsum encoder, forward and grads
+        (custom_vjp recompute backward)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from megatts2_tpu.nn import TransformerEncoder
+
+        B, T, D, H = 2, 24, 16, 2
+        x = jnp.asarray(np.random.RandomState(0).randn(B, T, D).astype(np.float32))
+        lens = jnp.asarray([15, 24], jnp.int32)
+        enc_ref = TransformerEncoder(dim=D, ff_dim=32, num_layers=2, n_heads=H)
+        p = enc_ref.init(KEY, x, x_lens=lens, causal=True)["params"]
+        ref = enc_ref.apply({"params": p}, x, x_lens=lens, causal=True)
+        enc_fl = TransformerEncoder(dim=D, ff_dim=32, num_layers=2, n_heads=H,
+                                    use_flash=True)
+        with pltpu.force_tpu_interpret_mode():
+            got = enc_fl.apply({"params": p}, x, x_lens=lens, causal=True)
+            g1 = jax.grad(
+                lambda p: enc_fl.apply({"params": p}, x, x_lens=lens, causal=True).sum()
+            )(p)
+        g2 = jax.grad(
+            lambda p: enc_ref.apply({"params": p}, x, x_lens=lens, causal=True).sum()
+        )(p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
