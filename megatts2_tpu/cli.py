@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import argparse
 import os
-from functools import partial
 
 import jax
-import numpy as np
 import yaml
 
 

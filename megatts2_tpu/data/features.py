@@ -8,7 +8,6 @@ reads are page-cache slices, no per-read thread pool or HDF5 locking.
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, Tuple
 
 import numpy as np

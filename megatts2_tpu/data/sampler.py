@@ -9,7 +9,6 @@ small, fixed set of shapes instead of one compile per batch.
 """
 from __future__ import annotations
 
-import math
 from typing import Iterator, List, Optional
 
 import numpy as np

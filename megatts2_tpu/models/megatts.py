@@ -28,10 +28,10 @@ from ..ops import mel_spectrogram, regulate_length
 from ..text.symbol_table import SymbolTable
 from ..text.tokenizer import TextTokenizer
 from ..utils.audio import load_wav, peak_normalize, save_wav
-from .adm import MegaADM, adm_infer
+from .adm import adm_infer
 from .hifigan import HiFiGAN
 from .megag import MegaG
-from .plm import MegaPLM, plm_infer
+from .plm import plm_infer
 
 
 def _ceil_div(a: int, b: int) -> int:

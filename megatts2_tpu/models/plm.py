@@ -14,8 +14,7 @@ batched over utterances.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

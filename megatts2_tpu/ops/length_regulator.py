@@ -3,13 +3,13 @@
 The reference (``modules/mrte.py:23-60``) builds a dense 0/1 alignment
 matrix in a triple Python loop on numpy and multiplies it with the phone
 latents — a host round-trip and O(T_out * T_in) memory.  On TPU we replace
-it with a cumsum + searchsorted gather: frame ``f`` copies phone
-``searchsorted(cumsum(durations), f, side='right')``.  This is loop-free,
-jit-able, static-shaped, and differentiable w.r.t. ``x``.
+it with a cumsum + comparison-sum gather: frame ``f`` copies phone
+``#(cumsum(durations) <= f)``, computed as a dense VPU-parallel comparison
+(sequential binary search lowers poorly on TPU).  Loop-free, jit-able,
+static-shaped, differentiable w.r.t. ``x``.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -23,8 +23,6 @@ TPU-first departures:
 """
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ converted to numpy immediately.
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping
 
 import numpy as np

@@ -18,7 +18,6 @@ reference's ``clip``), and VQ EMA state updates ride along functionally.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Tuple
 
 import flax.struct

@@ -8,8 +8,6 @@ the device mesh: params replicated (or TP-sharded), batch sharded over
 """
 from __future__ import annotations
 
-import os
-import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
