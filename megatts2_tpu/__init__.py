@@ -38,6 +38,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = path or os.environ.get(
         "MEGATTS2_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/megatts2_tpu_xla")
     )
+    # per-platform subdir: CPU AOT artifacts are machine-feature-sensitive
+    try:
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

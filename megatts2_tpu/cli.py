@@ -62,7 +62,7 @@ def main(argv=None):
         GANBatchBuilder,
         PLMBatchBuilder,
     )
-    from .parallel import make_mesh
+    from .parallel import make_mesh, maybe_initialize_distributed
     from .training import run_training
     from .training.checkpoints import latest_checkpoint, restore_checkpoint
 
@@ -74,6 +74,7 @@ def main(argv=None):
         .filter_duration(min_d, max_d)
         for split in ("train", "valid")
     }
+    maybe_initialize_distributed()
     mesh = make_mesh(n_model=args.n_model)
     rng = jax.random.PRNGKey(0)
 

@@ -143,8 +143,16 @@ class Megatts:
         self.dtype = dtype
 
     def phone_ids(self, text: str) -> np.ndarray:
+        """G2P → symbol ids.  Separator tokens ('_'/'-') that are not in the
+        symbol table (i.e. the corpus was aligned without them) are skipped;
+        any other unknown phone raises KeyError, as the reference would."""
         phones = self.tt.tokenize_lty(self.tt.tokenize(text))
-        return np.array([self.token2idx[p] for p in phones], dtype=np.int32)
+        ids = [
+            self.token2idx[p]
+            for p in phones
+            if not (p in ("_", "-") and p not in self.token2idx)
+        ]
+        return np.array(ids, dtype=np.int32)
 
     def synthesize_batch(
         self,

@@ -1,3 +1,3 @@
 from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh,
-                   replicated, shard_batch)
+                   maybe_initialize_distributed, replicated, shard_batch)
 from .sharding import param_shardings, replicated_like

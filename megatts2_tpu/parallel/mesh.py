@@ -20,6 +20,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call ``jax.distributed.initialize`` when the
+    standard env (``MEGATTS2_TPU_COORDINATOR`` + ``MEGATTS2_TPU_NUM_PROCESSES``
+    + ``MEGATTS2_TPU_PROCESS_ID``) is present — one JAX process per host over
+    DCN, ICI mesh within hosts (SURVEY.md §5 distributed notes).  No-op (and
+    returns False) in single-process runs."""
+    import os
+
+    coord = os.environ.get("MEGATTS2_TPU_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["MEGATTS2_TPU_NUM_PROCESSES"]),
+        process_id=int(os.environ["MEGATTS2_TPU_PROCESS_ID"]),
+    )
+    return True
+
+
 def make_mesh(
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
