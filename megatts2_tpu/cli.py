@@ -81,7 +81,11 @@ def main(argv=None):
     def loaders(builder_cls, sampler_kwargs, builder_kwargs=None):
         def factory(split):
             def make(epoch):
-                sampler = DurationBucketSampler(manifests[split], **sampler_kwargs)
+                sampler = DurationBucketSampler(
+                    manifests[split],
+                    batch_divisor=mesh.shape["data"],
+                    **sampler_kwargs,
+                )
                 sampler.set_epoch(epoch)
                 kw = dict(builder_kwargs or {})
                 if builder_cls is not ADMBatchBuilder:

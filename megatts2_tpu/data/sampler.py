@@ -32,10 +32,15 @@ class DurationBucketSampler:
         shuffle: bool = True,
         drop_last: bool = False,
         seed: int = 0,
+        batch_divisor: int = 1,
     ):
+        """``batch_divisor``: emit batch sizes that are multiples of this
+        (the mesh's data-axis size) so every batch shards evenly over DP
+        replicas; the remainder rolls into the next batch."""
         self.manifest = manifest
         self.max_duration_batch = max_duration_batch
         self.max_cuts = max_cuts
+        self.batch_divisor = max(1, batch_divisor)
         self.num_buckets = max(1, min(num_buckets, len(manifest) or 1))
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -54,6 +59,19 @@ class DurationBucketSampler:
     def __iter__(self) -> Iterator[List[int]]:
         rng = np.random.RandomState(self.seed + self.epoch)
         batches: List[List[int]] = []
+        div = self.batch_divisor
+
+        def close(cur: List[int], carry: List[int]) -> List[int]:
+            """Emit cur trimmed to a multiple of the divisor; remainder
+            carries into the next batch."""
+            if div > 1 and len(cur) % div:
+                keep = len(cur) - len(cur) % div
+                carry.extend(cur[keep:])
+                cur = cur[:keep]
+            if cur:
+                batches.append(cur)
+            return carry
+
         for bucket in self.buckets:
             idxs = bucket.copy()
             if self.shuffle:
@@ -69,11 +87,15 @@ class DurationBucketSampler:
                 )
                 over_cnt = self.max_cuts is not None and len(cur) >= self.max_cuts
                 if over_dur or over_cnt:
-                    batches.append(cur)
-                    cur, cur_dur = [], 0.0
+                    cur = close(cur, [])
+                    cur_dur = sum(self.manifest[j].duration for j in cur)
                 cur.append(int(i))
                 cur_dur += d
             if cur and not self.drop_last:
+                if div > 1 and len(cur) % div and batches:
+                    # final remainder: pad by re-sampling from the bucket
+                    need = div - len(cur) % div
+                    cur = cur + [int(j) for j in idxs[:need]]
                 batches.append(cur)
         if self.shuffle:
             rng.shuffle(batches)

@@ -122,7 +122,11 @@ class DatasetMaker:
                 )
 
             split = "train" if n % self.test_set_interval else "valid"
-            mel = np.asarray(mel_spectrogram(jnp.asarray(y)), np.float32)[:n_fr]
+            # pad the signal to a sample bucket (multiple of 32768) so the
+            # jitted mel kernel compiles once per bucket, not per file
+            bucket = ((y.shape[-1] + 32767) // 32768) * 32768
+            y_pad = np.pad(y, (0, bucket - y.shape[-1]))
+            mel = np.asarray(mel_spectrogram(jnp.asarray(y_pad)), np.float32)[:n_fr]
             path, off = writers[split].add(mel)
 
             text = open(txt_path, encoding="utf-8").read() if os.path.exists(txt_path) else ""

@@ -261,3 +261,25 @@ class TestTokenizer:
         d = load_pinyin_dict(ref)
         assert len(d) > 3000  # 4147 lines, ~3.3k unique pinyin keys
         assert "ni3" in d
+
+
+class TestBatchDivisor:
+    def test_batches_divisible(self):
+        m = CutManifest([Cut(str(i), "s", 2.0, 10) for i in range(23)])
+        s = DurationBucketSampler(
+            m, max_duration_batch=12.0, num_buckets=2, seed=3, batch_divisor=4
+        )
+        batches = list(s)
+        assert batches
+        for b in batches:
+            assert len(b) % 4 == 0, b
+        # every cut appears at least once (remainders roll forward or pad)
+        seen = {i for b in batches for i in b}
+        assert seen == set(range(23))
+
+    def test_divisor_one_unchanged(self):
+        m = CutManifest([Cut(str(i), "s", 2.0, 10) for i in range(10)])
+        a = list(DurationBucketSampler(m, max_duration_batch=8.0, num_buckets=1, seed=1))
+        b = list(DurationBucketSampler(m, max_duration_batch=8.0, num_buckets=1, seed=1,
+                                       batch_divisor=1))
+        assert a == b
