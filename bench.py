@@ -63,6 +63,15 @@ def main():
     )
     hifi_vars = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))
 
+    # bf16 param storage: the AR decodes are weight-HBM-bound
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
+    plm_vars = {"params": cast(plm_vars["params"])}
+    adm_vars = {"params": cast(adm_vars["params"])}
+    hifi_vars = {"params": cast(hifi_vars["params"])}
+
     rng = np.random.RandomState(0)
     phones = jnp.asarray(rng.randint(1, 320, (B, Tp)), jnp.int32)
     lens = jnp.full((B,), Tp, jnp.int32)

@@ -35,14 +35,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
     full-size synthesis graphs take minutes to compile remotely)."""
     import jax
 
+    # CPU AOT cache entries are machine-feature-sensitive (observed
+    # cross-run feature-detection flakiness → SIGILL risk); only cache for
+    # accelerator backends, where compiles cost minutes.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu":
+        return
     cache_dir = path or os.environ.get(
         "MEGATTS2_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/megatts2_tpu_xla")
     )
-    # per-platform subdir: CPU AOT artifacts are machine-feature-sensitive
-    try:
-        cache_dir = os.path.join(cache_dir, jax.default_backend())
-    except Exception:
-        pass
+    cache_dir = os.path.join(cache_dir, backend)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -41,6 +41,23 @@ def infer_stage(config_path: str) -> str:
     raise ValueError("cannot infer stage from config; pass --stage")
 
 
+
+def _maybe_restore(state, ckpt_path, ckpt_dir, mesh):
+    """Restore the latest (or given) checkpoint and re-place it replicated on
+    the mesh — orbax restores arrays committed to a single device, which
+    would clash with mesh-sharded batches."""
+    import jax
+
+    from .parallel import replicated_like
+    from .training.checkpoints import latest_checkpoint, restore_checkpoint
+
+    path = ckpt_path or latest_checkpoint(ckpt_dir)
+    if not path:
+        return state
+    state = restore_checkpoint(path, state)
+    return jax.device_put(state, replicated_like(state, mesh))
+
+
 def _data_cfg(config_path: str) -> dict:
     with open(config_path) as f:
         return yaml.safe_load(f).get("data", {})
@@ -111,8 +128,7 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, g_tx, d_tx = create_gan_state(rng, g_cfg, d_cfg, tcfg, example)
-        if args.ckpt_path or latest_checkpoint(ckpt_dir):
-            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
         eval_fn = make_gan_eval_step(g_cfg)
         from .training.gan_trainer import make_gan_val_artifacts
@@ -148,8 +164,7 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, tx = create_plm_state(rng, cfg, tcfg, example)
-        if args.ckpt_path or latest_checkpoint(ckpt_dir):
-            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn, eval_fn = make_plm_train_step(cfg, tcfg, tx)
         run_training(
             "plm", state, step_fn, train_f, tcfg.max_steps,
@@ -172,8 +187,7 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, tx = create_adm_state(rng, cfg, tcfg, example)
-        if args.ckpt_path or latest_checkpoint(ckpt_dir):
-            state = restore_checkpoint(args.ckpt_path or latest_checkpoint(ckpt_dir), state)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn, eval_fn = make_adm_train_step(cfg, tcfg, tx)
         run_training(
             "adm", state, step_fn, train_f, tcfg.max_steps,

@@ -128,7 +128,21 @@ class Megatts:
         pinyin_dict_path: Optional[str] = None,
         max_frames: int = 2048,
         dtype: Any = jnp.bfloat16,
+        cast_params: bool = True,
     ):
+        if cast_params and dtype == jnp.bfloat16:
+            # the AR decodes are weight-HBM-bound: storing params in bf16
+            # halves per-step weight traffic (compute runs bf16 regardless)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+            plm_params = cast(plm_params)
+            adm_params = cast(adm_params)
+            hifi_params = cast(hifi_params)
+            g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
         self.g_vars = g_vars
         self.plm_params = plm_params
         self.adm_params = adm_params

@@ -177,29 +177,40 @@ class DatasetMaker:
         cuts_all.cuts.extend(cuts_valid.cuts)
         builder = GANBatchBuilder(cuts_all, ds)
 
-        @partial(jax.jit, static_argnums=())
-        def s2(phone, lens, mel_mrte, mel_vqpe):
-            return g.apply(
-                {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]},
-                phone, lens, mel_mrte, mel_vqpe, method=MegaG.s2_latent,
-            )
+        def s2_fn(variables, phone, lens, mel_mrte, mel_vqpe):
+            return g.apply(variables, phone, lens, mel_mrte, mel_vqpe,
+                           method=MegaG.s2_latent)
 
-        for i, cut in enumerate(cuts_all):
-            os.makedirs(os.path.join(ds, "latents", cut.speaker), exist_ok=True)
-            batch = builder([i])
+        s2 = jax.jit(s2_fn)
+        variables = {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]}
+
+        # batched extraction: sort by length so padded batches are tight,
+        # run B cuts per device pass (the reference extracts one cut per
+        # CUDA call, prepare_ds.py:240-258)
+        B = 8
+        order = sorted(range(len(cuts_all)), key=lambda i: cuts_all[i].num_frames)
+        for start in range(0, len(order), B):
+            idxs = order[start : start + B]
+            batch = builder(idxs)
             tc, codes = s2(
+                variables,
                 jnp.asarray(batch["phone_tokens"]),
                 jnp.asarray(batch["tokens_lens"]),
                 jnp.asarray(batch["mel_timbres"]),
-                jnp.asarray(batch["mel_targets"][:, : batch["mel_target_lens"][0]]),
+                jnp.asarray(batch["mel_targets"]),
             )
-            tl = int(batch["tokens_lens"][0])
-            n_codes = -(-int(batch["mel_target_lens"][0]) // 8)
-            out = {
-                "tc_latent": np.asarray(tc, np.float32)[:, :tl],
-                "p_code": np.asarray(codes, np.int32).transpose(1, 0, 2)[:, :, :n_codes],
-            }
-            np.save(os.path.join(ds, "latents", cut.speaker, f"{cut.id}.npy"), out)
+            tc = np.asarray(tc, np.float32)
+            codes = np.asarray(codes, np.int32)  # (n_q, B, T8)
+            for b, i in enumerate(idxs):
+                cut = cuts_all[i]
+                os.makedirs(os.path.join(ds, "latents", cut.speaker), exist_ok=True)
+                tl = int(batch["tokens_lens"][b])
+                n_codes = -(-int(batch["mel_target_lens"][b]) // 8)
+                out = {
+                    "tc_latent": tc[b : b + 1, :tl],
+                    "p_code": codes[:, b : b + 1, :n_codes].transpose(1, 0, 2),
+                }
+                np.save(os.path.join(ds, "latents", cut.speaker, f"{cut.id}.npy"), out)
 
 
 def main(argv=None):

@@ -87,7 +87,9 @@ def make_gan_train_step(
     d = Discriminator(d_cfg, dtype=dtype)
 
     def train_step(state: GANTrainState, batch: dict):
-        rng, drop_rng, vq_rng, win_rng = jax.random.split(state.rng, 4)
+        rng, drop_rng, vq_rng, win_rng, d_rng1, d_rng2, d_rng3 = jax.random.split(
+            state.rng, 7
+        )
         T = batch["mel_targets"].shape[1]
         win_rngs = jax.random.split(win_rng, len(d_cfg.time_lengths))
         # window start bounded by the longest TRUE mel length in the batch
@@ -130,19 +132,19 @@ def make_gan_train_step(
         )
         y = batch["mel_targets"].astype(jnp.float32)
 
-        def d_apply(params, bstats, mel):
+        def d_apply(params, bstats, mel, rng):
             out, mut = d.apply(
                 {"params": params, "batch_stats": bstats},
                 mel, starts=starts, train=True,
-                rngs={"dropout": drop_rng},
+                rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
             return out["y"].astype(jnp.float32), mut["batch_stats"]
 
         # --- discriminator update (on detached y_hat) -------------------
         def d_loss_fn(d_params):
-            v_real, bs1 = d_apply(d_params, state.batch_stats, y)
-            v_fake, bs2 = d_apply(d_params, bs1, jax.lax.stop_gradient(y_hat))
+            v_real, bs1 = d_apply(d_params, state.batch_stats, y, d_rng1)
+            v_fake, bs2 = d_apply(d_params, bs1, jax.lax.stop_gradient(y_hat), d_rng2)
             loss_real = 0.5 * jnp.mean((v_real - 1.0) ** 2)
             loss_fake = 0.5 * jnp.mean(v_fake**2)
             return loss_real + loss_fake, (loss_real, loss_fake, bs2)
@@ -155,7 +157,7 @@ def make_gan_train_step(
 
         # --- generator update against the UPDATED discriminator ---------
         def g_loss_from_outputs(y_hat_f, commit_f, vq_f):
-            v_adv, bs = d_apply(d_params, bstats, y_hat_f)
+            v_adv, bs = d_apply(d_params, bstats, y_hat_f, d_rng3)
             loss_adv = 0.5 * jnp.mean((v_adv - 1.0) ** 2)
             loss_re = jnp.mean(jnp.abs(y - y_hat_f))
             loss = (

@@ -1,0 +1,133 @@
+"""CLI-level tests: training resume from the latest checkpoint, and the
+inference CLI arg path with random-init models (tiny configs)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+GAN_TINY = """
+trainer:
+  max_steps: {steps}
+  log_every_n_steps: 1
+  val_check_interval: 100
+model:
+  G:
+    mrte:
+      mel_bins: 80
+      mel_stride: 16
+      mel_n_layer: 1
+      mel_n_stack: 1
+      mel_n_block: 1
+      content_ff_dim: 32
+      content_n_heads: 2
+      content_n_layers: 1
+      hidden_size: 16
+      phone_vocab_size: 40
+      dropout: 0.0
+    vqpe:
+      {{mel_bins: 20, stride: 8, hidden_size: 16, kernel_size: 3, n_layers: 1,
+       n_stacks: 1, n_blocks: 1, vq_bins: 32, vq_dim: 8}}
+    kernel_size: 3
+    hidden_size: 16
+    decoder_n_stack: 1
+    decoder_n_block: 1
+  D: {{time_lengths: [8, 16], freq_length: 80, hidden_size: 8}}
+  initial_learning_rate: 1.0e-4
+  warmup_steps: 1
+  train_dtype: float32
+data:
+  ds_path: {ds}/
+  max_duration_batch: 30
+  min_duration: 0.5
+  max_duration: 30
+  num_buckets: 1
+"""
+
+
+def make_gan_ds(tmp_path):
+    """Minimal on-disk GAN dataset (features + manifests + symbols)."""
+    from megatts2_tpu.data import Cut, CutManifest, FeatureWriter
+
+    rng = np.random.RandomState(0)
+    ds = str(tmp_path / "ds")
+    os.makedirs(ds, exist_ok=True)
+    for split, n in (("train", 6), ("valid", 2)):
+        cuts = []
+        with FeatureWriter(os.path.join(ds, f"feats_{split}.bin"), dim=80) as w:
+            for i in range(n):
+                frames = 40
+                mel = rng.randn(frames, 80).astype(np.float32)
+                p, o = w.add(mel)
+                cuts.append(
+                    Cut(f"{split}{i}", f"spk{i % 2}", 2.0, frames,
+                        ["a", "b", "c", "d"], [10, 10, 10, 10], "", p, o)
+                )
+        CutManifest(cuts).save(os.path.join(ds, f"cuts_{split}.jsonl.gz"))
+    with open(os.path.join(ds, "unique_text_tokens.k2symbols"), "w") as f:
+        for i, s in enumerate(["<eps>", "a", "b", "c", "d"]):
+            f.write(f"{s} {i}\n")
+    return ds
+
+
+class TestTrainResume:
+    def test_fit_then_resume_continues_from_checkpoint(self, tmp_path):
+        from megatts2_tpu.cli import main as cli_main
+        from megatts2_tpu.training.checkpoints import latest_checkpoint, restore_pytree
+
+        ds = make_gan_ds(tmp_path)
+        cfg2 = str(tmp_path / "gan2.yaml")
+        open(cfg2, "w").write(GAN_TINY.format(steps=2, ds=ds))
+        ck = str(tmp_path / "ck")
+        logd = str(tmp_path / "logs")
+        cli_main(["fit", "-c", cfg2, "--log_dir", logd, "--ckpt_dir", ck])
+        p1 = latest_checkpoint(ck)
+        assert p1 and p1.endswith("step_2")
+
+        # resume: bump max_steps to 4; cli auto-restores latest
+        cfg4 = str(tmp_path / "gan4.yaml")
+        open(cfg4, "w").write(GAN_TINY.format(steps=4, ds=ds))
+        cli_main(["fit", "-c", cfg4, "--log_dir", logd, "--ckpt_dir", ck])
+        p2 = latest_checkpoint(ck)
+        assert p2.endswith("step_4")
+        state = restore_pytree(p2)
+        assert int(np.asarray(state["step"])) == 4
+
+
+class TestInferCLI:
+    def test_infer_main_random_init(self, tmp_path):
+        from megatts2_tpu.infer import main as infer_main
+        from megatts2_tpu.utils.audio import load_wav, save_wav
+
+        # tiny configs
+        gan = str(tmp_path / "gan.yaml")
+        open(gan, "w").write(GAN_TINY.format(steps=1, ds=tmp_path))
+        plm = str(tmp_path / "plm.yaml")
+        open(plm, "w").write(
+            "model:\n  plm: {n_layers: 1, n_heads: 2, vq_dim: 8, tc_latent_dim: 16, "
+            "vq_bins: 32, dropout: 0.0}\n  initial_learning_rate: 1e-4\n"
+        )
+        adm = str(tmp_path / "adm.yaml")
+        open(adm, "w").write(
+            "model:\n  adm: {n_layers: 1, n_heads: 2, emb_dim: 8, tc_latent_dim: 16, "
+            "tc_emb_dim: 8, dropout: 0.0}\n  initial_learning_rate: 1e-4\n"
+        )
+        sym = str(tmp_path / "sym")
+        with open(sym, "w") as f:
+            for i, s in enumerate(["<eps>", "_", "hello", "world"]):
+                f.write(f"{s} {i}\n")
+        wavs = tmp_path / "wavs"
+        wavs.mkdir()
+        t = np.arange(4000) / 16000
+        save_wav(str(wavs / "p.wav"), (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32))
+
+        out = str(tmp_path / "out.wav")
+        infer_main([
+            "--wavs_dir", str(wavs), "--text", "hello world", "--out", out,
+            "--g_config", gan, "--plm_config", plm, "--adm_config", adm,
+            "--symbol_table", sym, "--max_frames", "64", "--dtype", "float32",
+        ])
+        assert os.path.exists(out)
+        y = load_wav(out)
+        assert y.shape[0] > 4000 and np.isfinite(y).all()
