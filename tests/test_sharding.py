@@ -222,3 +222,74 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestGANShardedEquivalence:
+    def test_dp_tp_gan_step_matches_single_device(self, devices):
+        """One GAN train step on a 4x2 (data x model) mesh — params
+        TP-sharded, batch DP-sharded — must produce the same losses and
+        updated params as the unsharded step."""
+        from megatts2_tpu.config import (
+            DiscriminatorConfig,
+            MegaGConfig,
+            MRTEConfig,
+            TrainConfig,
+            VQPEConfig,
+        )
+        from megatts2_tpu.parallel import param_shardings, replicated_like
+        from megatts2_tpu.training import create_gan_state, make_gan_train_step
+
+        g_cfg = MegaGConfig(
+            mrte=MRTEConfig(
+                mel_bins=80, mel_stride=4, mel_n_layer=1, mel_n_stack=1, mel_n_block=1,
+                content_ff_dim=32, content_n_heads=2, content_n_layers=1, hidden_size=16,
+                phone_vocab_size=40, dropout=0.0,
+            ),
+            vqpe=VQPEConfig(mel_bins=20, stride=8, hidden_size=16, kernel_size=3,
+                            n_layers=1, n_stacks=1, n_blocks=1, vq_bins=32, vq_dim=8),
+            kernel_size=3, hidden_size=16, decoder_n_stack=1, decoder_n_block=1,
+        )
+        d_cfg = DiscriminatorConfig(time_lengths=(8, 16), freq_length=80, hidden_size=8)
+        tcfg = TrainConfig(max_steps=100, warmup_steps=1, train_dtype="float32")
+        rng = np.random.RandomState(0)
+        B = 8
+        batch = {
+            "duration_tokens": rng.randint(1, 8, (B, 6)).astype(np.int32),
+            "phone_tokens": rng.randint(0, 40, (B, 6)).astype(np.int32),
+            "tokens_lens": np.full((B,), 6, np.int32),
+            "mel_timbres": rng.randn(B, 48, 80).astype(np.float32),
+            "mel_targets": rng.randn(B, 64, 80).astype(np.float32),
+            "mel_target_lens": np.full((B,), 64, np.int32),
+        }
+        state, g_tx, d_tx = create_gan_state(
+            jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg, batch
+        )
+        step = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
+        ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+        mesh = make_mesh(n_model=2)
+        with mesh:
+            sh_state = state.replace(
+                g_params=jax.device_put(state.g_params, param_shardings(state.g_params, mesh)),
+                d_params=jax.device_put(state.d_params, param_shardings(state.d_params, mesh)),
+                g_opt=jax.device_put(state.g_opt, replicated_like(state.g_opt, mesh)),
+                d_opt=jax.device_put(state.d_opt, replicated_like(state.d_opt, mesh)),
+                vq_stats=jax.device_put(state.vq_stats, replicated_like(state.vq_stats, mesh)),
+                batch_stats=jax.device_put(
+                    state.batch_stats, replicated_like(state.batch_stats, mesh)
+                ),
+                rng=jax.device_put(state.rng, replicated_like(state.rng, mesh)),
+                step=jax.device_put(state.step, replicated_like(state.step, mesh)),
+            )
+            sb = shard_batch(batch, mesh)
+            sh_new, sh_metrics = jax.jit(step)(sh_state, sb)
+        for k in ref_metrics:
+            np.testing.assert_allclose(
+                float(np.asarray(ref_metrics[k])), float(np.asarray(sh_metrics[k])),
+                rtol=2e-4, atol=1e-5, err_msg=k,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.g_params),
+            jax.tree_util.tree_leaves(sh_new.g_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
