@@ -47,20 +47,19 @@ class MetricsLogger:
 
 
 class StepTimer:
-    """Rolling steps/sec measurement."""
+    """Rolling steps/sec over the last ≤window ticks (updates every tick)."""
 
     def __init__(self, window: int = 50):
-        self.window = window
-        self._t0 = time.perf_counter()
-        self._count = 0
+        from collections import deque
+
+        self._ticks = deque([time.perf_counter()], maxlen=window + 1)
         self.steps_per_sec = 0.0
 
     def tick(self) -> None:
-        self._count += 1
-        if self._count >= self.window:
-            now = time.perf_counter()
-            self.steps_per_sec = self._count / (now - self._t0)
-            self._t0, self._count = now, 0
+        self._ticks.append(time.perf_counter())
+        span = self._ticks[-1] - self._ticks[0]
+        if span > 0:
+            self.steps_per_sec = (len(self._ticks) - 1) / span
 
 
 class ProfilerHook:
