@@ -46,8 +46,6 @@ def _maybe_restore(state, ckpt_path, ckpt_dir, mesh):
     """Restore the latest (or given) checkpoint and re-place it replicated on
     the mesh — orbax restores arrays committed to a single device, which
     would clash with mesh-sharded batches."""
-    import jax
-
     from .parallel import replicated_like
     from .training.checkpoints import latest_checkpoint, restore_checkpoint
 
@@ -81,7 +79,6 @@ def main(argv=None):
     )
     from .parallel import make_mesh, maybe_initialize_distributed
     from .training import run_training
-    from .training.checkpoints import latest_checkpoint, restore_checkpoint
 
     dcfg = _data_cfg(args.config)
     ds_path = dcfg.get("ds_path", "data/ds/")
