@@ -145,6 +145,9 @@ class TrainConfig:
     log_every_n_steps: int = 100
     val_check_interval: int = 1500
     seed: int = 0
+    # compile-time optimization: scan conv residual stacks (stacked conv
+    # params; torch converter needs scan_stacks=True to match)
+    scan_conv_stacks: bool = False
 
 
 def _build(cls, d: dict) -> Any:

@@ -38,6 +38,7 @@ from ..ops import regulate_length
 class MRTE(nn.Module):
     cfg: MRTEConfig = MRTEConfig()
     dtype: Any = jnp.float32
+    scan_stacks: bool = False  # scan conv residual stacks (compile-time opt)
 
     def setup(self):
         c = self.cfg
@@ -61,6 +62,7 @@ class MRTE(nn.Module):
             middle_kind="conv",
             middle_stride=c.mel_stride,
             dtype=self.dtype,
+            scan_stacks=self.scan_stacks,
         )
         self.phone_encoder = TransformerEncoder(
             dim=c.hidden_size,

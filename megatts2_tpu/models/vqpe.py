@@ -23,6 +23,7 @@ from ..quantization import ResidualVectorQuantizer
 class VQProsodyEncoder(nn.Module):
     cfg: VQPEConfig = VQPEConfig()
     dtype: Any = jnp.float32
+    scan_stacks: bool = False
 
     def setup(self):
         c = self.cfg
@@ -38,6 +39,7 @@ class VQProsodyEncoder(nn.Module):
             middle_kind="maxpool",
             middle_stride=c.stride,
             dtype=self.dtype,
+            scan_stacks=self.scan_stacks,
         )
         self.vq = ResidualVectorQuantizer(
             dimension=c.vq_dim, n_q=1, bins=c.vq_bins, decay=0.99

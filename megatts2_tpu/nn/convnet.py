@@ -70,15 +70,40 @@ class ConvStack(nn.Module):
 
 
 class ResidualBlockStack(nn.Module):
+    """n_stacks × (x = x + ConvStack(x)).  With ``scan_stacks=True`` the
+    identical stacks run under ``nn.scan`` (one compiled body, params
+    stacked on a leading depth axis) — cuts trace/compile size ~n_stacks×
+    for the conv-heavy MegaG graph; default off for reference-layout
+    parameter trees."""
+
     hidden_size: int
     n_stacks: int
     n_blocks: int
     kernel_size: int
     activation: str
     dtype: Any = jnp.float32
+    scan_stacks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.scan_stacks:
+            def body(stack: ConvStack, carry: jnp.ndarray):
+                return carry + stack(carry, deterministic), ()
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.n_stacks,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(
+                ConvStack(
+                    self.hidden_size, self.n_blocks, self.kernel_size,
+                    self.activation, self.dtype, name="conv_stacks",
+                ),
+                x,
+            )
+            return x
         for i in range(self.n_stacks):
             x = x + ConvStack(
                 self.hidden_size,
@@ -134,6 +159,7 @@ class ConvNet(nn.Module):
     kernel_size: int
     activation: str
     dtype: Any = jnp.float32
+    scan_stacks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -144,7 +170,7 @@ class ConvNet(nn.Module):
         )(x)
         x = ResidualBlockStack(
             self.hidden_size, self.n_stacks, self.n_blocks, self.kernel_size, self.activation,
-            self.dtype, name="conv_stack",
+            self.dtype, scan_stacks=self.scan_stacks, name="conv_stack",
         )(x, deterministic)
         x = nn.Conv(
             self.out_channels, (self.kernel_size,), padding=[(p, p)], dtype=self.dtype,
@@ -160,6 +186,7 @@ class ConvNetDoubleLayer(nn.Module):
     kernel_size: int
     activation: str
     dtype: Any = jnp.float32
+    scan_stacks: bool = False
 
     @nn.compact
     def __call__(
@@ -167,12 +194,12 @@ class ConvNetDoubleLayer(nn.Module):
     ) -> jnp.ndarray:
         x = ResidualBlockStack(
             self.hidden_size, self.n_stacks, self.n_blocks, self.kernel_size, self.activation,
-            self.dtype, name="conv_stack1",
+            self.dtype, scan_stacks=self.scan_stacks, name="conv_stack1",
         )(x, deterministic)
         x = middle(x)
         x = ResidualBlockStack(
             self.hidden_size, self.n_stacks, self.n_blocks, self.kernel_size, self.activation,
-            self.dtype, name="conv_stack2",
+            self.dtype, scan_stacks=self.scan_stacks, name="conv_stack2",
         )(x, deterministic)
         return x
 
@@ -192,6 +219,7 @@ class ConvNetDouble(nn.Module):
     middle_kind: str = "maxpool"
     middle_stride: int = 8
     dtype: Any = jnp.float32
+    scan_stacks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -212,7 +240,7 @@ class ConvNetDouble(nn.Module):
         for i in range(self.n_layers):
             y = ConvNetDoubleLayer(
                 self.hidden_size, self.n_stacks, self.n_blocks, self.kernel_size, self.activation,
-                self.dtype, name=f"layers_{i}",
+                self.dtype, scan_stacks=self.scan_stacks, name=f"layers_{i}",
             )(x, middle, deterministic)
             out = y if out is None else out + y
         out = nn.Conv(

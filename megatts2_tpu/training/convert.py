@@ -73,33 +73,44 @@ def _conv_block(sd, name):
     return {"conv": _conv1d(sd, f"{name}.conv"), "norm": _ln(sd, f"{name}.norm")}
 
 
-def _residual_stack(sd, name, n_stacks, n_blocks):
-    out = {}
+def _residual_stack(sd, name, n_stacks, n_blocks, scan_stacks: bool = False):
+    per = []
     for i in range(n_stacks):
         stack = {}
         for j in range(n_blocks):
             stack[f"blocks_{j}"] = _conv_block(sd, f"{name}.conv_stacks.{i}.blocks.{j}")
-        out[f"conv_stacks_{i}"] = stack
-    return out
+        per.append(stack)
+    if scan_stacks:
+        import jax
+
+        return {
+            "conv_stacks": jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0), *per
+            )
+        }
+    return {f"conv_stacks_{i}": p for i, p in enumerate(per)}
 
 
-def _convnet(sd, name, n_stacks, n_blocks):
+def _convnet(sd, name, n_stacks, n_blocks, scan_stacks: bool = False):
     return {
         "first_layer": _conv1d(sd, f"{name}.first_layer"),
-        "conv_stack": _residual_stack(sd, f"{name}.conv_stack", n_stacks, n_blocks),
+        "conv_stack": _residual_stack(sd, f"{name}.conv_stack", n_stacks, n_blocks, scan_stacks),
         "last_layer": _conv1d(sd, f"{name}.last_layer"),
     }
 
 
-def _convnet_double(sd, name, n_layers, n_stacks, n_blocks, conv_middle: bool):
+def _convnet_double(sd, name, n_layers, n_stacks, n_blocks, conv_middle: bool,
+                    scan_stacks: bool = False):
     out = {
         "first_layer": _conv1d(sd, f"{name}.first_layer"),
         "last_layer": _conv1d(sd, f"{name}.last_layer"),
     }
     for i in range(n_layers):
         out[f"layers_{i}"] = {
-            "conv_stack1": _residual_stack(sd, f"{name}.layers.{i}.conv_stack1", n_stacks, n_blocks),
-            "conv_stack2": _residual_stack(sd, f"{name}.layers.{i}.conv_stack2", n_stacks, n_blocks),
+            "conv_stack1": _residual_stack(
+                sd, f"{name}.layers.{i}.conv_stack1", n_stacks, n_blocks, scan_stacks),
+            "conv_stack2": _residual_stack(
+                sd, f"{name}.layers.{i}.conv_stack2", n_stacks, n_blocks, scan_stacks),
         }
     if conv_middle:
         # the torch middle layer is ONE shared Conv1d; it also appears under
@@ -162,14 +173,18 @@ def _vq_stats(sd, name, n_q=1):
     return out
 
 
-def convert_megag(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
-    """Reference MegaG state_dict → {'params': ..., 'vq_stats': ...}."""
+def convert_megag(
+    sd: Mapping[str, np.ndarray], cfg, scan_stacks: bool = False
+) -> Dict[str, Any]:
+    """Reference MegaG state_dict → {'params': ..., 'vq_stats': ...}.
+    ``scan_stacks`` must match the MegaG module flag (stacked conv params)."""
     m, v = cfg.mrte, cfg.vqpe
     params = {
         "mrte": {
             "phone_embedding": {"word_embeddings": _embed(sd, "mrte.phone_embedding.word_embeddings")},
             "mel_encoder": _convnet_double(
-                sd, "mrte.mel_encoder", m.mel_n_layer, m.mel_n_stack, m.mel_n_block, True
+                sd, "mrte.mel_encoder", m.mel_n_layer, m.mel_n_stack, m.mel_n_block, True,
+                scan_stacks,
             ),
             "phone_encoder": _encoder(sd, "mrte.phone_encoder", m.content_n_layers, True),
             "mha": _mha(sd, "mrte.mha"),
@@ -177,10 +192,12 @@ def convert_megag(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
         },
         "vqpe": {
             "convnet": _convnet_double(
-                sd, "vqpe.convnet", v.n_layers, v.n_stacks, v.n_blocks, False
+                sd, "vqpe.convnet", v.n_layers, v.n_stacks, v.n_blocks, False, scan_stacks
             ),
         },
-        "decoder": _convnet(sd, "decoder", cfg.decoder_n_stack, cfg.decoder_n_block),
+        "decoder": _convnet(
+            sd, "decoder", cfg.decoder_n_stack, cfg.decoder_n_block, scan_stacks
+        ),
     }
     vq_stats = {"vqpe": {"vq": _vq_stats(sd, "vqpe")}}
     return {"params": params, "vq_stats": vq_stats}

@@ -48,7 +48,7 @@ def create_gan_state(
     tcfg: TrainConfig,
     example_batch: dict,
 ) -> Tuple[GANTrainState, optax.GradientTransformation, optax.GradientTransformation]:
-    g = MegaG(g_cfg)
+    g = MegaG(g_cfg, scan_stacks=tcfg.scan_conv_stacks)
     d = Discriminator(d_cfg)
     g_rng, d_rng, vq_rng, state_rng = jax.random.split(rng, 4)
     g_vars = jax.jit(g.init)(
@@ -83,7 +83,7 @@ def make_gan_train_step(
     d_tx: optax.GradientTransformation,
 ):
     dtype = jnp.bfloat16 if tcfg.train_dtype == "bfloat16" else jnp.float32
-    g = MegaG(g_cfg, dtype=dtype)
+    g = MegaG(g_cfg, dtype=dtype, scan_stacks=tcfg.scan_conv_stacks)
     d = Discriminator(d_cfg, dtype=dtype)
 
     def train_step(state: GANTrainState, batch: dict):
@@ -205,6 +205,7 @@ def make_gan_val_artifacts(
     out_dir: str,
     hifi_params=None,
     hifi_cfg=None,
+    scan_conv_stacks: bool = False,
 ):
     """Validation artifacts, mirroring reference ``trainer.py:154-188``:
     a target-vs-output mel figure per validation, plus vocoded target/output
@@ -217,8 +218,7 @@ def make_gan_val_artifacts(
 
     from ..utils.plotting import save_spectrogram_plot
 
-    g = MegaG(g_cfg)
-    eval_step = make_gan_eval_step(g_cfg)
+    eval_step = make_gan_eval_step(g_cfg, scan_conv_stacks)
     os.makedirs(out_dir, exist_ok=True)
 
     vocoder = None
@@ -249,8 +249,8 @@ def make_gan_val_artifacts(
     return artifact_fn
 
 
-def make_gan_eval_step(g_cfg: MegaGConfig):
-    g = MegaG(g_cfg)
+def make_gan_eval_step(g_cfg: MegaGConfig, scan_conv_stacks: bool = False):
+    g = MegaG(g_cfg, scan_stacks=scan_conv_stacks)
 
     def eval_step(state: GANTrainState, batch: dict):
         y_hat, _, _ = g.apply(

@@ -210,3 +210,61 @@ class TestHiFiGAN:
         wav = v.apply(variables, mel)
         assert wav.shape == (1, 20 * 16)
         assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+class TestScanStacks:
+    def test_scanned_convnet_matches_unscanned(self):
+        """scan_stacks=True output == the unscanned module with restacked
+        params (forward equivalence of the compile-time optimization)."""
+        from megatts2_tpu.nn import ConvNet
+
+        kw = dict(in_channels=12, out_channels=10, hidden_size=16, n_stacks=3,
+                  n_blocks=2, kernel_size=3, activation="ReLU")
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 12).astype(np.float32))
+        scanned = ConvNet(**kw, scan_stacks=True)
+        p = scanned.init(KEY, x)["params"]
+        out_s = scanned.apply({"params": p}, x)
+
+        # unstack conv_stack/conv_stacks (n_stacks, ...) -> conv_stacks_{i}
+        stacked = p["conv_stack"]["conv_stacks"]
+        unstacked = {
+            f"conv_stacks_{i}": jax.tree_util.tree_map(lambda a: a[i], stacked)
+            for i in range(kw["n_stacks"])
+        }
+        p2 = {**p, "conv_stack": unstacked}
+        out_u = ConvNet(**kw, scan_stacks=False).apply({"params": p2}, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1e-5)
+
+    def test_megag_scan_stacks_converter_roundtrip(self):
+        """convert_megag(scan_stacks=True) produces the exact layout of a
+        scan_stacks MegaG, and the model matches the unscanned one."""
+        from tests.test_convert import TINY_G, make_megag_state_dict, tree_paths_shapes
+        from megatts2_tpu.training.convert import convert_megag
+
+        sd = make_megag_state_dict(TINY_G)
+        conv_s = convert_megag(sd, TINY_G, scan_stacks=True)
+        conv_u = convert_megag(sd, TINY_G, scan_stacks=False)
+
+        g_s = MegaG(TINY_G, scan_stacks=True)
+        B, Tp, Tm = 1, 5, 32
+        args = (
+            jnp.ones((B, Tp), jnp.int32), jnp.zeros((B, Tp), jnp.int32),
+            jnp.asarray([Tp]), jnp.zeros((B, Tm, 8)), jnp.zeros((B, Tm, 8)),
+        )
+        variables = g_s.init({"params": KEY, "vq": KEY}, *args)
+        assert tree_paths_shapes(conv_s["params"]) == tree_paths_shapes(variables["params"])
+
+        rng = np.random.RandomState(0)
+        real_args = (
+            jnp.asarray(rng.randint(1, 7, (B, Tp)), jnp.int32),
+            jnp.asarray(rng.randint(0, 11, (B, Tp)), jnp.int32),
+            jnp.asarray([Tp]),
+            jnp.asarray(rng.randn(B, Tm, 8).astype(np.float32)),
+            jnp.asarray(rng.randn(B, Tm, 8).astype(np.float32)),
+        )
+        vq = conv_s["vq_stats"]
+        out_s, _, _ = g_s.apply({"params": conv_s["params"], "vq_stats": vq}, *real_args)
+        out_u, _, _ = MegaG(TINY_G).apply(
+            {"params": conv_u["params"], "vq_stats": conv_u["vq_stats"]}, *real_args
+        )
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1e-5)
