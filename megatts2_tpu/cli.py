@@ -127,7 +127,7 @@ def main(argv=None):
         state, g_tx, d_tx = create_gan_state(rng, g_cfg, d_cfg, tcfg, example)
         state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
-        eval_fn = make_gan_eval_step(g_cfg, tcfg.scan_conv_stacks)
+        eval_fn = make_gan_eval_step(g_cfg)
         from .training.gan_trainer import make_gan_val_artifacts
 
         hifi_params = None
@@ -139,8 +139,7 @@ def main(argv=None):
                 load_torch_state_dict(args.hifigan_ckpt), HiFiGANConfig()
             )
         artifact_fn = make_gan_val_artifacts(
-            g_cfg, os.path.join(args.log_dir, "val_artifacts"), hifi_params,
-            scan_conv_stacks=tcfg.scan_conv_stacks,
+            g_cfg, os.path.join(args.log_dir, "val_artifacts"), hifi_params
         )
         run_training(
             "gan", state, step_fn, train_f, tcfg.max_steps,

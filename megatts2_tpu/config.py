@@ -65,6 +65,9 @@ class MegaGConfig:
     hidden_size: int = 512
     decoder_n_stack: int = 4
     decoder_n_block: int = 2
+    # scan conv residual stacks: ~10x faster compile, stacked conv param
+    # layout (converter must match); numerics-equivalent
+    scan_stacks: bool = False
 
 
 @dataclass(frozen=True)
@@ -145,9 +148,6 @@ class TrainConfig:
     log_every_n_steps: int = 100
     val_check_interval: int = 1500
     seed: int = 0
-    # compile-time optimization: scan conv residual stacks (stacked conv
-    # params; torch converter needs scan_stacks=True to match)
-    scan_conv_stacks: bool = False
 
 
 def _build(cls, d: dict) -> Any:

@@ -22,13 +22,11 @@ from .vqpe import VQProsodyEncoder
 class MegaG(nn.Module):
     cfg: MegaGConfig = MegaGConfig()
     dtype: Any = jnp.float32
-    scan_stacks: bool = False  # scan conv residual stacks (compile-time opt;
-    # changes the param layout — see training/convert.py scan_stacks flag)
 
     def setup(self):
         c = self.cfg
-        self.mrte = MRTE(c.mrte, dtype=self.dtype, scan_stacks=self.scan_stacks)
-        self.vqpe = VQProsodyEncoder(c.vqpe, dtype=self.dtype, scan_stacks=self.scan_stacks)
+        self.mrte = MRTE(c.mrte, dtype=self.dtype, scan_stacks=c.scan_stacks)
+        self.vqpe = VQProsodyEncoder(c.vqpe, dtype=self.dtype, scan_stacks=c.scan_stacks)
         self.decoder = ConvNet(
             in_channels=c.mrte.hidden_size + c.vqpe.vq_dim,
             out_channels=c.mrte.mel_bins,
@@ -38,7 +36,7 @@ class MegaG(nn.Module):
             kernel_size=c.kernel_size,
             activation=c.activation,
             dtype=self.dtype,
-            scan_stacks=self.scan_stacks,
+            scan_stacks=c.scan_stacks,
         )
 
     def __call__(

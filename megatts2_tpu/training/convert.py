@@ -174,10 +174,12 @@ def _vq_stats(sd, name, n_q=1):
 
 
 def convert_megag(
-    sd: Mapping[str, np.ndarray], cfg, scan_stacks: bool = False
+    sd: Mapping[str, np.ndarray], cfg, scan_stacks: bool | None = None
 ) -> Dict[str, Any]:
     """Reference MegaG state_dict → {'params': ..., 'vq_stats': ...}.
-    ``scan_stacks`` must match the MegaG module flag (stacked conv params)."""
+    Param layout follows ``cfg.scan_stacks`` unless overridden."""
+    if scan_stacks is None:
+        scan_stacks = getattr(cfg, "scan_stacks", False)
     m, v = cfg.mrte, cfg.vqpe
     params = {
         "mrte": {

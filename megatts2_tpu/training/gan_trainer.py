@@ -48,7 +48,7 @@ def create_gan_state(
     tcfg: TrainConfig,
     example_batch: dict,
 ) -> Tuple[GANTrainState, optax.GradientTransformation, optax.GradientTransformation]:
-    g = MegaG(g_cfg, scan_stacks=tcfg.scan_conv_stacks)
+    g = MegaG(g_cfg)
     d = Discriminator(d_cfg)
     g_rng, d_rng, vq_rng, state_rng = jax.random.split(rng, 4)
     g_vars = jax.jit(g.init)(
@@ -83,7 +83,7 @@ def make_gan_train_step(
     d_tx: optax.GradientTransformation,
 ):
     dtype = jnp.bfloat16 if tcfg.train_dtype == "bfloat16" else jnp.float32
-    g = MegaG(g_cfg, dtype=dtype, scan_stacks=tcfg.scan_conv_stacks)
+    g = MegaG(g_cfg, dtype=dtype)
     d = Discriminator(d_cfg, dtype=dtype)
 
     def train_step(state: GANTrainState, batch: dict):
@@ -205,7 +205,6 @@ def make_gan_val_artifacts(
     out_dir: str,
     hifi_params=None,
     hifi_cfg=None,
-    scan_conv_stacks: bool = False,
 ):
     """Validation artifacts, mirroring reference ``trainer.py:154-188``:
     a target-vs-output mel figure per validation, plus vocoded target/output
@@ -218,7 +217,7 @@ def make_gan_val_artifacts(
 
     from ..utils.plotting import save_spectrogram_plot
 
-    eval_step = make_gan_eval_step(g_cfg, scan_conv_stacks)
+    eval_step = make_gan_eval_step(g_cfg)
     os.makedirs(out_dir, exist_ok=True)
 
     vocoder = None
@@ -249,8 +248,8 @@ def make_gan_val_artifacts(
     return artifact_fn
 
 
-def make_gan_eval_step(g_cfg: MegaGConfig, scan_conv_stacks: bool = False):
-    g = MegaG(g_cfg, scan_stacks=scan_conv_stacks)
+def make_gan_eval_step(g_cfg: MegaGConfig):
+    g = MegaG(g_cfg)
 
     def eval_step(state: GANTrainState, batch: dict):
         y_hat, _, _ = g.apply(

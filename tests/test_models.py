@@ -236,16 +236,19 @@ class TestScanStacks:
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1e-5)
 
     def test_megag_scan_stacks_converter_roundtrip(self):
-        """convert_megag(scan_stacks=True) produces the exact layout of a
-        scan_stacks MegaG, and the model matches the unscanned one."""
+        """convert_megag on a scan_stacks config produces the exact layout of
+        a scan_stacks MegaG, and the model matches the unscanned one."""
+        import dataclasses
+
         from tests.test_convert import TINY_G, make_megag_state_dict, tree_paths_shapes
         from megatts2_tpu.training.convert import convert_megag
 
+        G_SCAN = dataclasses.replace(TINY_G, scan_stacks=True)
         sd = make_megag_state_dict(TINY_G)
-        conv_s = convert_megag(sd, TINY_G, scan_stacks=True)
-        conv_u = convert_megag(sd, TINY_G, scan_stacks=False)
+        conv_s = convert_megag(sd, G_SCAN)
+        conv_u = convert_megag(sd, TINY_G)
 
-        g_s = MegaG(TINY_G, scan_stacks=True)
+        g_s = MegaG(G_SCAN)
         B, Tp, Tm = 1, 5, 32
         args = (
             jnp.ones((B, Tp), jnp.int32), jnp.zeros((B, Tp), jnp.int32),
