@@ -104,6 +104,7 @@ model:
     hidden_size: 16
     decoder_n_stack: 1
     decoder_n_block: 1
+    scan_stacks: true
   D:
     time_lengths: [8, 16]
     freq_length: 80

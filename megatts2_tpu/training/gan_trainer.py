@@ -185,6 +185,10 @@ def make_gan_train_step(
             d_opt=d_opt,
             rng=rng,
         )
+        # codebook health: fraction of codes with live EMA mass (the
+        # reference has no VQ observability at all)
+        cs = new_vq_stats["vqpe"]["vq"]["layers_0"]["_codebook"]["cluster_size"]
+        code_usage = jnp.mean((cs > 1.0).astype(jnp.float32))
         metrics = {
             "D_loss_total": d_loss,
             "D_loss_real": d_loss_real,
@@ -194,6 +198,7 @@ def make_gan_train_step(
             "G_loss_re": g_loss_re,
             "G_loss_commit": commit_loss,
             "G_loss_vq": vq_loss,
+            "vq_code_usage": code_usage,
         }
         return new_state, metrics
 
