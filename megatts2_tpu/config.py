@@ -36,6 +36,7 @@ class MRTEConfig:
     phone_vocab_size: int = 320
     dropout: float = 0.1
     sample_rate: int = HIFIGAN_SR
+    use_flash: bool = False  # Pallas fused attention in the phone encoder
 
 
 @dataclass(frozen=True)
@@ -91,6 +92,7 @@ class MegaPLMConfig:
     tc_latent_dim: int = 512
     vq_bins: int = 1024
     dropout: float = 0.1
+    use_flash: bool = False  # Pallas fused attention on the training path
 
     @property
     def d_model(self) -> int:
@@ -116,6 +118,7 @@ class MegaADMConfig:
     tc_emb_dim: int = 256
     dropout: float = 0.1
     max_duration_token: int = 256
+    use_flash: bool = False  # Pallas fused attention on the training path
 
     @property
     def d_model(self) -> int:

@@ -39,6 +39,7 @@ class MegaADM(nn.Module):
             dropout=c.dropout,
             dtype=self.dtype,
             decode=self.decode,
+            use_flash=c.use_flash,
         )
         self.dt_linear_emb = nn.Dense(c.emb_dim, use_bias=False, dtype=self.dtype)
         self.tc_linear_emb = nn.Dense(c.tc_emb_dim, use_bias=False, dtype=self.dtype)

@@ -72,6 +72,7 @@ class MRTE(nn.Module):
             n_heads=c.content_n_heads,
             dropout=c.dropout,
             dtype=self.dtype,
+            use_flash=c.use_flash,
         )
         self.mha = MultiHeadAttention(
             qkv_dim=c.hidden_size, n_heads=1, dropout=c.dropout, dtype=self.dtype

@@ -41,6 +41,7 @@ class MegaPLM(nn.Module):
             dropout=c.dropout,
             dtype=self.dtype,
             decode=self.decode,
+            use_flash=c.use_flash,
         )
         self.predict_layer = nn.Dense(c.vq_bins, use_bias=False, dtype=self.dtype)
         self.pos = SinePositionalEmbedding(c.d_model, dtype=self.dtype)

@@ -271,3 +271,25 @@ class TestScanStacks:
             {"params": conv_u["params"], "vq_stats": conv_u["vq_stats"]}, *real_args
         )
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1e-5)
+
+
+class TestUseFlashConfig:
+    def test_plm_flash_config_matches_einsum(self):
+        """use_flash=True via config == einsum path (interpret mode)."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        B, T = 2, 10
+        rng = np.random.RandomState(1)
+        tc = jnp.asarray(rng.randn(B, T, 16).astype(np.float32))
+        codes = jnp.asarray(rng.randint(0, 16, (B, T + 1)))
+        lens = jnp.asarray([7, T], jnp.int32)
+        plm = MegaPLM(TINY_PLM)
+        variables = plm.init(KEY, tc, codes, lens)
+        ref, _ = plm.apply(variables, tc, codes, lens)
+
+        plm_f = MegaPLM(dataclasses.replace(TINY_PLM, use_flash=True))
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = plm_f.apply(variables, tc, codes, lens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
