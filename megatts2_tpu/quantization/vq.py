@@ -148,6 +148,9 @@ class EuclideanCodebook(nn.Module):
                 )
 
             ind = self._quantize(flat, embed)
+            # Dequantize with the PRE-update codebook, as the reference does
+            # (core_vq.py:215 runs before expiry/EMA at :217-229).
+            quantized = jnp.take(embed, ind, axis=0)
             onehot = jax.nn.one_hot(ind, self.codebook_size, dtype=jnp.float32)
 
             # dead-code expiry (uses pre-update cluster_size, as the reference)
@@ -179,8 +182,6 @@ class EuclideanCodebook(nn.Module):
             self.cluster_size.value = cluster_size
             self.embed_avg.value = embed_avg
             self.embed.value = embed
-
-            quantized = jnp.take(embed, ind, axis=0)
         else:
             ind = self._quantize(flat, self.embed.value)
             quantized = jnp.take(self.embed.value, ind, axis=0)

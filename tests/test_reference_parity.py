@@ -1,0 +1,480 @@
+"""Parity against the LITERAL reference code at /root/reference.
+
+Round-1 parity tests compare against hand-transcribed torch mirrors; a
+transcription error would pass silently.  Here we import the *actual*
+reference modules (``modules.mrte``, ``modules.vqpe``, ``models.megatts2``,
+``modules.quantization.core_vq``), push their ``state_dict`` through
+``megatts2_tpu.training.convert``, and assert our flax models reproduce
+their outputs — including a fabricated Lightning ``.ckpt`` end-to-end
+through ``from_pretrained``.
+
+The reference needs deps absent from this image (pypinyin, lhotse,
+speechbrain, librosa, phonemizer, lightning); they are stubbed in
+``sys.modules`` — only import-time surface, never executed.
+
+Known reference defects we deliberately do NOT reproduce (documented in
+PARITY.md):
+* ``MRTE.tc_latent`` arity bug (mrte.py:154-158 vs :180) — composed tests
+  call the working 2-arg inference path.
+* ``MegaPLM.infer``/``MegaADM.infer`` recompute the full prefix WITHOUT a
+  causal mask (megatts2.py:177,271: ``self.plm(x_pos)`` with no lens), so
+  for >=2 layers earlier positions attend to the future inside the prefix.
+  Our KV-cached decode is causal (matching the TRAINING-time numerics).
+  Infer-parity tests therefore use 1-layer models, where both coincide
+  exactly at the last position.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_PATH = "/root/reference"
+
+
+def _stub(name: str, **attrs):
+    if name in sys.modules:
+        mod = sys.modules[name]
+    else:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Import the literal reference packages with import-surface stubs."""
+    import os
+
+    if not os.path.isdir(REF_PATH):
+        pytest.skip("reference repo not available")
+
+    class _Separator:
+        def __init__(self, *a, **k):
+            pass
+
+    class _FeatureExtractor:
+        def __init__(self, *a, **k):
+            pass
+
+    _stub("pypinyin", pinyin=lambda *a, **k: [], lazy_pinyin=lambda *a, **k: [],
+          Style=types.SimpleNamespace(TONE3=8))
+    _stub("phonemizer")
+    _stub("phonemizer.separator", Separator=_Separator)
+    _stub("lhotse", CutSet=object, load_manifest=lambda *a, **k: None)
+    _stub("lhotse.features", FeatureExtractor=_FeatureExtractor)
+    _stub("lhotse.utils", Seconds=float,
+          compute_num_frames=lambda **k: 0)
+    _stub("lhotse.dataset", DynamicBucketingSampler=object, SimpleCutSampler=object)
+    _stub("lhotse.dataset.collation", collate_features=lambda *a, **k: None)
+    _stub("lhotse.dataset.input_strategies", _get_executor=lambda *a, **k: None)
+    _stub("speechbrain")
+    _stub("speechbrain.lobes")
+    _stub("speechbrain.lobes.models")
+    _stub("speechbrain.lobes.models.FastSpeech2",
+          mel_spectogram=lambda *a, **k: (None, None))
+    _stub("speechbrain.pretrained", HIFIGAN=object)
+    _stub("librosa", util=types.SimpleNamespace(normalize=lambda x: x))
+    _stub("torchaudio", save=lambda *a, **k: None)
+    lightning = _stub("lightning")
+    pl = _stub("lightning.pytorch", LightningDataModule=object)
+    lightning.pytorch = pl
+
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+
+    import importlib
+
+    ns = types.SimpleNamespace()
+    ns.megatts2 = importlib.import_module("models.megatts2")
+    ns.mrte = importlib.import_module("modules.mrte")
+    ns.vqpe = importlib.import_module("modules.vqpe")
+    ns.core_vq = importlib.import_module("modules.quantization.core_vq")
+    return ns
+
+
+def sd_numpy(module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+# --------------------------------------------------------------------------
+# Small shared configs (torch kwargs on the left, our dataclasses mirrored)
+# --------------------------------------------------------------------------
+MRTE_KW = dict(
+    mel_bins=8, mel_kernel_size=3, mel_stride=4, mel_n_layer=2, mel_n_stack=1,
+    mel_n_block=2, content_ff_dim=12, content_n_heads=2, content_n_layers=2,
+    hidden_size=8, phone_vocab_size=11, dropout=0.0,
+)
+VQPE_KW = dict(
+    mel_bins=6, stride=8, hidden_size=8, kernel_size=3, n_layers=2, n_stacks=1,
+    n_blocks=2, vq_bins=16, vq_dim=4,
+)
+G_KW = dict(kernel_size=3, hidden_size=8, decoder_n_stack=1, decoder_n_block=2)
+
+
+def _build_ref_g(ref, seed=0):
+    torch.manual_seed(seed)
+    mrte = ref.mrte.MRTE(**MRTE_KW)
+    vqpe = ref.vqpe.VQProsodyEncoder(**VQPE_KW)
+    g = ref.megatts2.MegaG(mrte=mrte, vqpe=vqpe, **G_KW).eval()
+    # non-degenerate, inited codebook (fresh kmeans_init=True leaves zeros)
+    rng = np.random.RandomState(7)
+    embed = rng.randn(VQPE_KW["vq_bins"], VQPE_KW["vq_dim"]).astype(np.float32)
+    cb = g.vqpe.vq.vq.layers[0]._codebook
+    cb.embed.data.copy_(torch.from_numpy(embed))
+    cb.embed_avg.data.copy_(torch.from_numpy(embed * 3.0))
+    cb.cluster_size.data.copy_(torch.full((VQPE_KW["vq_bins"],), 3.0))
+    cb.inited.data.copy_(torch.tensor([1.0]))
+    return g
+
+
+def _our_g_cfg():
+    from megatts2_tpu.config import MegaGConfig, MRTEConfig, VQPEConfig
+
+    return MegaGConfig(
+        mrte=MRTEConfig(**MRTE_KW), vqpe=VQPEConfig(**VQPE_KW), **G_KW
+    )
+
+
+def _ref_g_forward(g, dur, phone, mel_mrte, mel_vqpe):
+    """Compose the reference MegaG.forward (megatts2.py:56-73) from its
+    literal submodules, bypassing only the tc_latent arity bug (the 3-arg
+    call at mrte.py:180 TypeErrors as committed)."""
+    with torch.no_grad():
+        zq, commit, vq_loss, codes = g.vqpe(torch.from_numpy(mel_vqpe))
+        tc = g.mrte.tc_latent(torch.from_numpy(phone).long(),
+                              torch.from_numpy(mel_mrte))
+        x = g.mrte.length_regulator(tc, torch.from_numpy(dur))
+        x = torch.cat([x, zq], dim=-1)
+        mel_hat = g.decoder(x.transpose(1, 2)).transpose(1, 2)
+    return mel_hat.numpy(), vq_loss.item(), codes.numpy()
+
+
+class TestMegaGLiteralParity:
+    def _data(self):
+        rng = np.random.RandomState(0)
+        B, Tp, Tm_prompt, Tm = 2, 5, 33, 32
+        phone = rng.randint(0, MRTE_KW["phone_vocab_size"], (B, Tp))
+        # per-row durations summing exactly to Tm
+        dur = np.array([[7, 7, 6, 6, 6], [5, 9, 4, 8, 6]], np.int32)
+        assert (dur.sum(1) == Tm).all()
+        mel_mrte = rng.randn(B, Tm_prompt, MRTE_KW["mel_bins"]).astype(np.float32)
+        mel_vqpe = rng.randn(B, Tm, MRTE_KW["mel_bins"]).astype(np.float32)
+        return phone, dur, mel_mrte, mel_vqpe, Tp
+
+    def test_forward_matches_reference(self, ref):
+        from megatts2_tpu.models import MegaG
+        from megatts2_tpu.training.convert import convert_megag
+
+        g = _build_ref_g(ref)
+        phone, dur, mel_mrte, mel_vqpe, Tp = self._data()
+        ref_mel, ref_vq_loss, ref_codes = _ref_g_forward(
+            g, dur, phone, mel_mrte, mel_vqpe
+        )
+
+        cfg = _our_g_cfg()
+        variables = convert_megag(sd_numpy(g), cfg)
+        ours, commit, vq_loss = MegaG(cfg).apply(
+            variables, jnp.asarray(dur), jnp.asarray(phone),
+            jnp.asarray([Tp, Tp]), jnp.asarray(mel_mrte),
+            jnp.asarray(mel_vqpe), train=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_mel, atol=1e-4)
+        np.testing.assert_allclose(float(vq_loss), ref_vq_loss, atol=1e-5)
+
+    def test_s2_latent_codes_match(self, ref):
+        from megatts2_tpu.models import MegaG
+        from megatts2_tpu.training.convert import convert_megag
+
+        g = _build_ref_g(ref)
+        phone, dur, mel_mrte, mel_vqpe, Tp = self._data()
+        with torch.no_grad():
+            _, _, _, ref_codes = g.vqpe(torch.from_numpy(mel_vqpe))
+            ref_tc = g.mrte.tc_latent(
+                torch.from_numpy(phone).long(), torch.from_numpy(mel_mrte)
+            ).numpy()
+
+        cfg = _our_g_cfg()
+        variables = convert_megag(sd_numpy(g), cfg)
+        tc, codes = MegaG(cfg).apply(
+            variables, jnp.asarray(phone), jnp.asarray([Tp, Tp]),
+            jnp.asarray(mel_mrte), jnp.asarray(mel_vqpe),
+            method=MegaG.s2_latent,
+        )
+        np.testing.assert_allclose(np.asarray(tc), ref_tc, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(codes), ref_codes.numpy())
+
+
+PLM_KW = dict(n_layers=2, n_heads=2, vq_dim=8, tc_latent_dim=8, vq_bins=16,
+              dropout=0.0)
+ADM_KW = dict(n_layers=2, n_heads=2, emb_dim=4, tc_latent_dim=8, tc_emb_dim=4,
+              dropout=0.0)
+
+
+class TestLMLiteralParity:
+    def test_plm_forward_matches_reference(self, ref):
+        from megatts2_tpu.config import MegaPLMConfig
+        from megatts2_tpu.models import MegaPLM
+        from megatts2_tpu.training.convert import convert_plm
+
+        torch.manual_seed(1)
+        rplm = ref.megatts2.MegaPLM(**PLM_KW).eval()
+        B, T = 2, 7
+        rng = np.random.RandomState(3)
+        tc = rng.randn(B, T, PLM_KW["tc_latent_dim"]).astype(np.float32)
+        codes = rng.randint(0, PLM_KW["vq_bins"], (B, T + 1))
+        lens = torch.tensor([T, T])
+        with torch.no_grad():
+            ref_logits, ref_tgt = rplm(
+                torch.from_numpy(tc), torch.from_numpy(codes).long(), lens
+            )
+
+        cfg = MegaPLMConfig(**PLM_KW)
+        params = convert_plm(sd_numpy(rplm), cfg)
+        logits, tgt = MegaPLM(cfg).apply(
+            {"params": params}, jnp.asarray(tc), jnp.asarray(codes),
+            jnp.asarray([T, T]),
+        )
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(tgt), ref_tgt.numpy())
+
+    def test_adm_forward_matches_reference(self, ref):
+        from megatts2_tpu.config import MegaADMConfig
+        from megatts2_tpu.models import MegaADM
+        from megatts2_tpu.training.convert import convert_adm
+
+        torch.manual_seed(2)
+        radm = ref.megatts2.MegaADM(**ADM_KW).eval()
+        B, T = 2, 6
+        rng = np.random.RandomState(4)
+        tc = rng.randn(B, T, ADM_KW["tc_latent_dim"]).astype(np.float32)
+        dur = np.concatenate(
+            [np.zeros((B, 1, 1), np.float32),
+             rng.randint(1, 9, (B, T, 1)).astype(np.float32)], axis=1
+        )
+        with torch.no_grad():
+            ref_pred, ref_tgt = radm(
+                torch.from_numpy(tc), torch.from_numpy(dur), torch.tensor([T, T])
+            )
+
+        cfg = MegaADMConfig(**ADM_KW)
+        params = convert_adm(sd_numpy(radm), cfg)
+        pred, tgt = MegaADM(cfg).apply(
+            {"params": params}, jnp.asarray(tc), jnp.asarray(dur),
+            jnp.asarray([T, T]),
+        )
+        np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(tgt), ref_tgt.numpy())
+
+    def test_plm_infer_matches_reference_1layer(self, ref):
+        """Greedy decode vs the literal reference infer loop.  1 layer:
+        the reference's unmasked full-prefix recompute coincides with causal
+        KV-cached decode at the last position (see module docstring)."""
+        from megatts2_tpu.config import MegaPLMConfig
+        from megatts2_tpu.models.plm import plm_infer
+        from megatts2_tpu.training.convert import convert_plm
+
+        kw = dict(PLM_KW, n_layers=1, vq_bins=1024)  # infer hardcodes BOS 1024
+        torch.manual_seed(5)
+        rplm = ref.megatts2.MegaPLM(**kw).eval()
+        T = 6
+        rng = np.random.RandomState(6)
+        tc = rng.randn(1, T, kw["tc_latent_dim"]).astype(np.float32)
+        with torch.no_grad():
+            ref_codes = rplm.infer(torch.from_numpy(tc)).numpy()
+
+        cfg = MegaPLMConfig(**kw)
+        params = convert_plm(sd_numpy(rplm), cfg)
+        ours = np.asarray(plm_infer(params, cfg, jnp.asarray(tc)))
+        np.testing.assert_array_equal(ours, ref_codes)
+
+    def test_adm_infer_matches_reference_1layer(self, ref):
+        from megatts2_tpu.config import MegaADMConfig
+        from megatts2_tpu.models.adm import adm_infer
+        from megatts2_tpu.training.convert import convert_adm
+
+        kw = dict(ADM_KW, n_layers=1)
+        torch.manual_seed(8)
+        radm = ref.megatts2.MegaADM(**kw).eval()
+        T = 6
+        rng = np.random.RandomState(9)
+        tc = rng.randn(1, T, kw["tc_latent_dim"]).astype(np.float32)
+        with torch.no_grad():
+            ref_dur = radm.infer(torch.from_numpy(tc)).numpy()[..., 0]
+
+        cfg = MegaADMConfig(**kw)
+        params = convert_adm(sd_numpy(radm), cfg)
+        ours = np.asarray(adm_infer(params, cfg, jnp.asarray(tc)))
+        np.testing.assert_array_equal(ours, ref_dur)
+
+
+class TestVQEMALiteralParity:
+    def test_train_step_matches_reference_core_vq(self, ref):
+        """One EMA training step of the literal EnCodec VectorQuantization
+        (core_vq.py:206-231,294-316) vs ours: same quantized output (from
+        the PRE-update codebook), codes, commit loss, and identical
+        post-step embed / embed_avg / cluster_size."""
+        from megatts2_tpu.quantization.vq import VectorQuantization as OurVQ
+
+        dim, size, B, T = 4, 8, 2, 12
+        decay = 0.9
+        rng = np.random.RandomState(11)
+        embed = rng.randn(size, dim).astype(np.float32)
+        embed_avg = (embed * 3.0).astype(np.float32)
+        cluster = np.full((size,), 3.0, np.float32)
+        x = rng.randn(B, T, dim).astype(np.float32)
+
+        rvq = ref.core_vq.VectorQuantization(
+            dim=dim, codebook_size=size, decay=decay, kmeans_init=False,
+            threshold_ema_dead_code=2,
+        ).train()
+        cb = rvq._codebook
+        cb.embed.data.copy_(torch.from_numpy(embed))
+        cb.embed_avg.data.copy_(torch.from_numpy(embed_avg))
+        cb.cluster_size.data.copy_(torch.from_numpy(cluster))
+        cb.inited.data.copy_(torch.tensor([1.0]))
+
+        # reference wants (B, D, N)
+        tq, tcodes, tloss = rvq(torch.from_numpy(x.transpose(0, 2, 1)))
+        ref_q = tq.detach().numpy().transpose(0, 2, 1)
+
+        ours = OurVQ(dim=dim, codebook_size=size, decay=decay, kmeans_init=False,
+                     threshold_ema_dead_code=2.0)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+            jnp.asarray(x), train=False,
+        )
+        stats = {
+            "inited": jnp.asarray(1.0),
+            "cluster_size": jnp.asarray(cluster),
+            "embed": jnp.asarray(embed),
+            "embed_avg": jnp.asarray(embed_avg),
+        }
+        (q, codes, commit), mut = ours.apply(
+            {"params": variables.get("params", {}),
+             "vq_stats": {"_codebook": stats}},
+            jnp.asarray(x), train=True,
+            mutable=["vq_stats"], rngs={"vq": jax.random.PRNGKey(2)},
+        )
+        np.testing.assert_allclose(np.asarray(q), ref_q, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(codes), tcodes.numpy())
+        np.testing.assert_allclose(float(commit), float(tloss.item()), atol=1e-6)
+
+        new = mut["vq_stats"]["_codebook"]
+        np.testing.assert_allclose(
+            np.asarray(new["cluster_size"]), cb.cluster_size.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new["embed_avg"]), cb.embed_avg.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new["embed"]), cb.embed.numpy(), atol=1e-5
+        )
+
+
+class TestFabricatedCheckpointRoundTrip:
+    """Save literal-reference state_dicts as Lightning-style .ckpt files and
+    load them through our from_pretrained loaders (reference prefix
+    conventions G./plm./adm., megatts2.py:111-117,192-198,286-292)."""
+
+    def test_megag_ckpt_via_from_pretrained(self, ref, tmp_path):
+        import yaml
+
+        from megatts2_tpu.models import MegaG
+        from megatts2_tpu.models.pretrained import megag_from_pretrained
+
+        g = _build_ref_g(ref)
+        ckpt = tmp_path / "generator.ckpt"
+        torch.save(
+            {"state_dict": {f"G.{k}": v for k, v in g.state_dict().items()}},
+            str(ckpt),
+        )
+        config = tmp_path / "config_gan.yaml"
+        config.write_text(yaml.safe_dump({
+            "model": {
+                "G": {
+                    "class_path": "models.megatts2.MegaG",
+                    "init_args": {
+                        "mrte": {"class_path": "modules.mrte.MRTE",
+                                 "init_args": MRTE_KW},
+                        "vqpe": {"class_path": "modules.vqpe.VQProsodyEncoder",
+                                 "init_args": VQPE_KW},
+                        **G_KW,
+                    },
+                }
+            }
+        }))
+
+        tc = TestMegaGLiteralParity()
+        phone, dur, mel_mrte, mel_vqpe, Tp = tc._data()
+        ref_mel, _, _ = _ref_g_forward(g, dur, phone, mel_mrte, mel_vqpe)
+
+        cfg, variables = megag_from_pretrained(str(ckpt), str(config))
+        ours, _, _ = MegaG(cfg).apply(
+            variables, jnp.asarray(dur), jnp.asarray(phone),
+            jnp.asarray([Tp, Tp]), jnp.asarray(mel_mrte),
+            jnp.asarray(mel_vqpe), train=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_mel, atol=1e-4)
+
+    def test_plm_adm_ckpts_via_from_pretrained(self, ref, tmp_path):
+        import yaml
+
+        from megatts2_tpu.models import MegaADM, MegaPLM
+        from megatts2_tpu.models.pretrained import (
+            adm_from_pretrained,
+            plm_from_pretrained,
+        )
+
+        torch.manual_seed(12)
+        rplm = ref.megatts2.MegaPLM(**PLM_KW).eval()
+        radm = ref.megatts2.MegaADM(**ADM_KW).eval()
+        plm_ckpt, adm_ckpt = tmp_path / "plm.ckpt", tmp_path / "adm.ckpt"
+        torch.save({"state_dict": {f"plm.{k}": v for k, v in rplm.state_dict().items()}},
+                   str(plm_ckpt))
+        torch.save({"state_dict": {f"adm.{k}": v for k, v in radm.state_dict().items()}},
+                   str(adm_ckpt))
+        plm_yaml, adm_yaml = tmp_path / "plm.yaml", tmp_path / "adm.yaml"
+        plm_yaml.write_text(yaml.safe_dump(
+            {"model": {"plm": {"class_path": "models.megatts2.MegaPLM",
+                               "init_args": PLM_KW}}}))
+        adm_yaml.write_text(yaml.safe_dump(
+            {"model": {"adm": {"class_path": "models.megatts2.MegaADM",
+                               "init_args": ADM_KW}}}))
+
+        B, T = 2, 5
+        rng = np.random.RandomState(13)
+        tc_p = rng.randn(B, T, PLM_KW["tc_latent_dim"]).astype(np.float32)
+        codes = rng.randint(0, PLM_KW["vq_bins"], (B, T + 1))
+        tc_a = rng.randn(B, T, ADM_KW["tc_latent_dim"]).astype(np.float32)
+        dur = np.concatenate(
+            [np.zeros((B, 1, 1), np.float32),
+             rng.randint(1, 9, (B, T, 1)).astype(np.float32)], axis=1)
+
+        with torch.no_grad():
+            ref_logits, _ = rplm(torch.from_numpy(tc_p),
+                                 torch.from_numpy(codes).long(),
+                                 torch.tensor([T, T]))
+            ref_pred, _ = radm(torch.from_numpy(tc_a), torch.from_numpy(dur),
+                               torch.tensor([T, T]))
+
+        plm_cfg, plm_params = plm_from_pretrained(str(plm_ckpt), str(plm_yaml))
+        adm_cfg, adm_params = adm_from_pretrained(str(adm_ckpt), str(adm_yaml))
+        logits, _ = MegaPLM(plm_cfg).apply(
+            {"params": plm_params}, jnp.asarray(tc_p), jnp.asarray(codes),
+            jnp.asarray([T, T]))
+        pred, _ = MegaADM(adm_cfg).apply(
+            {"params": adm_params}, jnp.asarray(tc_a), jnp.asarray(dur),
+            jnp.asarray([T, T]))
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), atol=5e-5)
