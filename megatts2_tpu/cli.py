@@ -90,7 +90,6 @@ def main(argv=None):
     }
     maybe_initialize_distributed()
     mesh = make_mesh(n_model=args.n_model)
-    rng = jax.random.PRNGKey(0)
 
     def loaders(builder_cls, sampler_kwargs, builder_kwargs=None):
         def factory(split):
@@ -116,6 +115,7 @@ def main(argv=None):
         from .training import create_gan_state, make_gan_eval_step, make_gan_train_step
 
         g_cfg, d_cfg, tcfg = load_gan_config(args.config)
+        rng = jax.random.PRNGKey(tcfg.seed)
         train_f, valid_f = loaders(
             GANBatchBuilder,
             dict(
@@ -147,13 +147,14 @@ def main(argv=None):
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
             eval_step=lambda s, b: {"loss_re": eval_fn(s, b)["loss_re"]},
             valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
-            artifact_fn=artifact_fn,
+            artifact_fn=artifact_fn, monitor="loss_re",
         )
     elif stage == "plm":
         from .config import load_plm_config
         from .training import create_plm_state, make_plm_train_step
 
         cfg, tcfg = load_plm_config(args.config)
+        rng = jax.random.PRNGKey(tcfg.seed)
         train_f, valid_f = loaders(
             PLMBatchBuilder,
             dict(max_duration_batch=None, max_cuts=dcfg.get("max_n_cuts", 15), num_buckets=1),
@@ -175,12 +176,14 @@ def main(argv=None):
         from .training import create_adm_state, make_adm_train_step
 
         cfg, tcfg = load_adm_config(args.config)
+        rng = jax.random.PRNGKey(tcfg.seed)
         train_f, valid_f = loaders(
             ADMBatchBuilder,
             dict(
                 max_duration_batch=dcfg.get("max_duration_batch", 400),
                 num_buckets=dcfg.get("num_buckets", 10),
             ),
+            dict(max_duration_token=cfg.max_duration_token),
         )
         example = next(iter(train_f(0)))
         state, tx = create_adm_state(rng, cfg, tcfg, example)

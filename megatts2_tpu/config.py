@@ -117,7 +117,12 @@ class MegaADMConfig:
     tc_latent_dim: int = 512
     tc_emb_dim: int = 256
     dropout: float = 0.1
-    max_duration_token: int = 256
+    # The reference STORES max_duration_token=256 but never uses it: infer
+    # clamps to a hardcoded 128 (megatts2.py:275) and the dataset skips
+    # durations >=128 (datamodule.py:259-260).  Here the knob is wired for
+    # real (infer clamp + ADMBatchBuilder skip threshold) and defaults to
+    # the reference's EFFECTIVE value.
+    max_duration_token: int = 128
     use_flash: bool = False  # Pallas fused attention on the training path
 
     @property
@@ -153,11 +158,27 @@ class TrainConfig:
     seed: int = 0
 
 
-def _build(cls, d: dict) -> Any:
+def _build(cls, d: dict, strict_source: bool = False) -> Any:
     """Recursively build a (nested) dataclass from a plain dict, accepting the
-    reference's ``{class_path, init_args}`` wrappers transparently."""
+    reference's ``{class_path, init_args}`` wrappers transparently.
+
+    Unknown keys are warned about (``strict_source=True`` means ``d`` holds
+    ONLY knobs for ``cls``, so any unknown key is a likely typo; loaders that
+    pass mixed dicts leave it False and skip the check)."""
     if isinstance(d, dict) and "init_args" in d:
         d = d["init_args"]
+        strict_source = True
+    known = {f.name for f in dataclasses.fields(cls)}
+    if strict_source:
+        for k in d:
+            if k not in known and k != "class_path":
+                import warnings
+
+                warnings.warn(
+                    f"config key '{k}' is not a knob of {cls.__name__}; ignored"
+                    " (typo?)",
+                    stacklevel=2,
+                )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:

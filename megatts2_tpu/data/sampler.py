@@ -55,6 +55,7 @@ class DurationBucketSampler:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        self._len_cache = None
 
     def __iter__(self) -> Iterator[List[int]]:
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -102,4 +103,7 @@ class DurationBucketSampler:
         return iter(batches)
 
     def __len__(self) -> int:
-        return sum(1 for _ in iter(self))
+        # batch plan is deterministic per (seed, epoch): compute once
+        if getattr(self, "_len_cache", None) is None:
+            self._len_cache = sum(1 for _ in iter(self))
+        return self._len_cache

@@ -114,4 +114,6 @@ def adm_infer(
     else:
         dts = d0[None]
     dts = jnp.transpose(dts, (1, 0))
-    return jnp.clip((dts + 0.5).astype(jnp.int32), 1, 128)
+    # reference hardcodes clamp(1, 128) (megatts2.py:275); here the cap is
+    # the (actually wired) max_duration_token knob, defaulting to 128
+    return jnp.clip((dts + 0.5).astype(jnp.int32), 1, cfg.max_duration_token)

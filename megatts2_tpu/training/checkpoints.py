@@ -2,26 +2,53 @@
 
 Replaces Lightning ModelCheckpoint (reference ``configs/*.yaml:12-18``):
 ``save`` writes the whole train-state pytree (params, opt state, VQ stats,
-RNG, step); ``restore`` rebuilds it against an abstract target.  Top-k /
-save-last policy is handled by the train loop (``train_loop.py``).
+RNG, step).  Retention matches the reference's ModelCheckpoint policy —
+top-``keep`` by the monitored validation metric (lower is better, e.g.
+``val/loss_re`` for the GAN stage) PLUS the most recent step
+(``save_last: true``).  Metric scores persist in a ``scores.json`` sidecar
+so the policy survives resume.  Saves without a metric are kept only while
+they are the latest.
 """
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(ckpt_dir: str, state: Any, step: int, keep: int = 5) -> str:
+def _scores_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "scores.json")
+
+
+def _load_scores(ckpt_dir: str) -> Dict[str, float]:
+    try:
+        with open(_scores_path(ckpt_dir)) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def save_checkpoint(
+    ckpt_dir: str, state: Any, step: int, keep: int = 5,
+    metric: Optional[float] = None,
+) -> str:
+    """Save ``state`` under ``step_{step}`` and prune to the top-``keep``
+    checkpoints by ``metric`` (ascending) + the latest step."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    _prune(ckpt_dir, keep)
+    scores = _load_scores(ckpt_dir)
+    if metric is not None:
+        scores[str(step)] = float(metric)
+        with open(_scores_path(ckpt_dir), "w") as f:
+            json.dump(scores, f)
+    _prune(ckpt_dir, keep, scores)
     return path
 
 
@@ -64,13 +91,42 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), abstract)
 
 
-def _prune(ckpt_dir: str, keep: int) -> None:
+def _prune(ckpt_dir: str, keep: int, scores: Optional[Dict[str, float]] = None) -> None:
+    """Keep the ``keep`` best checkpoints by monitored metric (ascending;
+    unscored steps rank last) + the latest step; remove the rest."""
+    import shutil
+
+    if scores is None:
+        scores = _load_scores(ckpt_dir)
     steps = sorted(
         (int(n.split("_")[1]), n)
         for n in os.listdir(ckpt_dir)
         if n.startswith("step_") and n.split("_")[1].isdigit()
     )
-    import shutil
+    if not steps:
+        return
+    latest = steps[-1][0]
+    inf = float("inf")
+    by_score = sorted(steps, key=lambda sn: (scores.get(str(sn[0]), inf), -sn[0]))
+    keep_steps = {s for s, _ in by_score[:keep]} | {latest}
+    for s, name in steps:
+        if s not in keep_steps:
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+            scores.pop(str(s), None)
+    if scores:
+        with open(_scores_path(ckpt_dir), "w") as f:
+            json.dump(scores, f)
 
-    for _, name in steps[:-keep]:
-        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+def best_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Path of the best-scored checkpoint (falls back to latest)."""
+    scores = _load_scores(ckpt_dir)
+    live = {
+        n.split("_")[1]: n
+        for n in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
+        if n.startswith("step_")
+    }
+    scored = [(v, k) for k, v in scores.items() if k in live]
+    if not scored:
+        return latest_checkpoint(ckpt_dir)
+    return os.path.join(ckpt_dir, live[min(scored)[1]])

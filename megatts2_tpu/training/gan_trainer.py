@@ -222,7 +222,9 @@ def make_gan_val_artifacts(
 
     from ..utils.plotting import save_spectrogram_plot
 
-    eval_step = make_gan_eval_step(g_cfg)
+    # jit ONCE at factory time — a fresh jax.jit wrapper per validation
+    # would retrace every call (minutes on the remote compiler)
+    jit_eval = jax.jit(make_gan_eval_step(g_cfg))
     os.makedirs(out_dir, exist_ok=True)
 
     vocoder = None
@@ -236,7 +238,7 @@ def make_gan_val_artifacts(
         vocoder = lambda mel: voc_jit(hifi_params, mel)
 
     def artifact_fn(state: GANTrainState, batch: dict, step: int):
-        out = jax.jit(eval_step)(state, batch)
+        out = jit_eval(state, batch)
         y = np.asarray(batch["mel_targets"][0], np.float32)
         y_hat = np.asarray(out["y_hat"][0], np.float32)
         save_spectrogram_plot(

@@ -83,12 +83,14 @@ def make_plm_train_step(cfg: MegaPLMConfig, tcfg: TrainConfig, tx):
         params = optax.apply_updates(state.params, updates)
         return (
             state.replace(step=state.step + 1, params=params, opt=opt, rng=rng),
-            {"loss": loss_log, "ac10": ac10},
+            # 'loss' is per-token (sum/(B*T)); 'loss_sum' is the reference's
+            # raw summed CE scale (trainer.py:253-254) for curve comparison
+            {"loss": loss_log, "loss_sum": loss, "ac10": ac10},
         )
 
     def eval_step(state: TrainState, batch):
-        _, (loss_log, ac10) = loss_fn(state.params, batch, state.rng, False)
-        return {"loss": loss_log, "ac10": ac10}
+        loss, (loss_log, ac10) = loss_fn(state.params, batch, state.rng, False)
+        return {"loss": loss_log, "loss_sum": loss, "ac10": ac10}
 
     return train_step, eval_step
 
@@ -140,11 +142,13 @@ def make_adm_train_step(
         params = optax.apply_updates(state.params, updates)
         return (
             state.replace(step=state.step + 1, params=params, opt=opt, rng=rng),
-            {"loss": loss_log},
+            # 'loss_sum' mirrors the reference's raw summed MSE scale
+            # (trainer.py:342-343); 'loss' is per-position
+            {"loss": loss_log, "loss_sum": loss},
         )
 
     def eval_step(state: TrainState, batch):
-        _, loss_log = loss_fn(state.params, batch, state.rng, False)
-        return {"loss": loss_log}
+        loss, loss_log = loss_fn(state.params, batch, state.rng, False)
+        return {"loss": loss_log, "loss_sum": loss}
 
     return train_step, eval_step

@@ -2,7 +2,9 @@
 
 Mirrors the reference trainers' cadence (``models/trainer.py``): periodic
 scalar logging, periodic validation (mean loss over the valid loader),
-checkpointing (top-k by val loss + last).  Runs the jitted train step over
+checkpointing (top-k by the monitored val metric + last, matching the
+reference's ModelCheckpoint on ``val/loss_re`` / ``val/loss``,
+configs/config_gan.yaml:12-18).  Runs the jitted train step over
 the device mesh: params replicated (or TP-sharded), batch sharded over
 'data' — GSPMD's answer to Lightning DDP.
 """
@@ -34,6 +36,7 @@ def run_training(
     trace_dir: Optional[str] = None,
     keep_ckpts: int = 5,
     artifact_fn: Optional[Callable] = None,
+    monitor: str = "loss",
 ):
     mesh = mesh or make_mesh()
     logger = MetricsLogger(log_dir, name)
@@ -75,7 +78,10 @@ def run_training(
                     except Exception as e:  # artifacts must never kill training
                         print(f"[val artifacts] skipped: {e}")
                 if ckpt_dir:
-                    save_checkpoint(ckpt_dir, state, step, keep=keep_ckpts)
+                    save_checkpoint(
+                        ckpt_dir, state, step, keep=keep_ckpts,
+                        metric=vm.get(monitor),
+                    )
         epoch += 1
     if ckpt_dir:
         save_checkpoint(ckpt_dir, state, step, keep=keep_ckpts)

@@ -1,0 +1,53 @@
+"""Top-k-by-val-metric checkpoint retention (reference ModelCheckpoint:
+top-5 on ``val/loss_re`` + ``save_last: true``, configs/config_gan.yaml:12-18).
+A later-but-worse validation must NOT evict an earlier-better checkpoint."""
+import os
+
+import jax.numpy as jnp
+
+from megatts2_tpu.training.checkpoints import (
+    best_checkpoint,
+    latest_checkpoint,
+    restore_pytree,
+    save_checkpoint,
+)
+
+
+def _dirs(d):
+    return sorted(n for n in os.listdir(d) if n.startswith("step_"))
+
+
+class TestTopKRetention:
+    def test_keeps_best_plus_last(self, tmp_path):
+        d = str(tmp_path / "ck")
+        state = {"w": jnp.arange(4.0)}
+        # val curve: improves then diverges
+        scores = {10: 1.0, 20: 0.5, 30: 0.2, 40: 0.9, 50: 1.5, 60: 2.0}
+        for step, m in scores.items():
+            save_checkpoint(d, {**state, "s": jnp.asarray(step)}, step, keep=2, metric=m)
+        kept = _dirs(d)
+        # top-2 by metric = steps 30 (0.2) and 20 (0.5); latest = 60
+        assert kept == ["step_20", "step_30", "step_60"], kept
+        assert latest_checkpoint(d).endswith("step_60")
+        assert best_checkpoint(d).endswith("step_30")
+        assert int(restore_pytree(os.path.join(d, "step_30"))["s"]) == 30
+
+    def test_unscored_final_save_only_kept_as_latest(self, tmp_path):
+        d = str(tmp_path / "ck")
+        state = {"w": jnp.zeros(2)}
+        save_checkpoint(d, state, 5, keep=1, metric=0.3)
+        save_checkpoint(d, state, 9, keep=1, metric=None)  # end-of-training save
+        assert _dirs(d) == ["step_5", "step_9"]
+        # another unscored save: 9 is no longer latest and has no score
+        save_checkpoint(d, state, 12, keep=1, metric=None)
+        assert _dirs(d) == ["step_12", "step_5"]
+        assert best_checkpoint(d).endswith("step_5")
+
+    def test_retention_survives_resume(self, tmp_path):
+        d = str(tmp_path / "ck")
+        state = {"w": jnp.zeros(2)}
+        save_checkpoint(d, state, 1, keep=2, metric=0.1)
+        # "restart": a fresh process would re-read scores.json
+        save_checkpoint(d, state, 2, keep=2, metric=0.9)
+        save_checkpoint(d, state, 3, keep=2, metric=0.8)
+        assert _dirs(d) == ["step_1", "step_3"]  # 0.1 best, 3 = top-2 & latest
