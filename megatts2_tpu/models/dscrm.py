@@ -7,11 +7,16 @@ into BatchNorm2d's *eps*)] → flatten → Linear → 1 validity scalar.
 ``MultiWindowDiscriminator`` clips random windows of 32/64/128 frames (the
 same start frame for the whole batch) and sums the per-window validities.
 
-TPU-first departure: window starts are sampled OUTSIDE the module (pass
-``starts``, one per window length) so the module stays a pure function; the
-reference's ``None``-if-window-doesn't-fit path (``dscrm.py:83-84``) is
-handled statically by requiring ``T >= max(time_lengths)`` — batches are
-padded to bucket sizes ≥ 128 frames by the data pipeline.
+TPU-first departures:
+* Window starts are sampled OUTSIDE the module (pass ``starts``, one per
+  window length) so the module stays a pure function.
+* Window-doesn't-fit semantics: the reference's skip path
+  (``dscrm.py:78-84`` → return ``None``) is unreachable as committed — its
+  ``clip`` *asserts* ``x_len.max() - win_length >= 0`` (``dscrm.py:102``)
+  and crashes on short batches.  Under jit we can neither crash nor return
+  None, so pass ``max_true_len`` (longest un-padded mel in the batch) and
+  any window longer than it contributes ZERO validity — the discriminator
+  never scores zero-padding, and losses/grads are invariant to pad content.
 """
 from __future__ import annotations
 
@@ -65,6 +70,7 @@ class Discriminator(nn.Module):
         mel: jnp.ndarray,  # (B, T, 80)
         starts: Optional[Sequence] = None,  # per-window start frames (ints)
         train: bool = False,
+        max_true_len: Optional[jnp.ndarray] = None,  # longest un-padded mel
     ):
         c = self.cfg
         validity = None
@@ -83,6 +89,10 @@ class Discriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"disc_{i}",
             )(clip, train=train)
+            if max_true_len is not None:
+                # window longer than every true mel → would only see padding;
+                # exclude it from the validity sum (see module docstring)
+                v = jnp.where(wl <= max_true_len, v, jnp.zeros_like(v))
             validity = v if validity is None else validity + v
             hiddens.extend(h)
         return {"y": validity, "h": hiddens}

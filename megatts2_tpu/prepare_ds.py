@@ -66,7 +66,66 @@ class DatasetMaker:
             list(p.imap(partial(make_lab, tt), wavs))
 
     # ----------------------------------------------------------- stage 1
-    def make_ds(self) -> None:
+    def _parse_one(self, n: int, tg: str):
+        """Host-side per-file work (thread-parallel): TextGrid → phone/
+        duration tokens, wav → bucket-padded signal.  Returns a record dict
+        or None for files without phone intervals."""
+        frame_shift = HIFIGAN_HOP_LENGTH / HIFIGAN_SR
+        cut_id = os.path.splitext(os.path.basename(tg))[0]
+        speaker = os.path.basename(os.path.dirname(tg))
+        wav_path = os.path.join(self.args.wavtxt_path, speaker, cut_id + ".wav")
+        txt_path = os.path.join(self.args.wavtxt_path, speaker, cut_id + ".txt")
+
+        intervals = [e for e in read_textgrid(tg) if e.tier == "phones"]
+        if not intervals:
+            return None
+        if intervals[0].name == "":
+            intervals = intervals[1:]
+        if intervals[-1].name == "":
+            intervals = intervals[:-1]
+
+        y = load_wav(wav_path, HIFIGAN_SR)
+        if self.args.trim_wav:
+            start_i = int(intervals[0].start * HIFIGAN_SR)
+            stop_i = int(intervals[-1].stop * HIFIGAN_SR)
+            y = peak_normalize(y[start_i:stop_i])
+            save_wav(wav_path, y, HIFIGAN_SR)
+
+        start = intervals[0].start
+        n_fr = num_frames(y.shape[-1])
+
+        duration_tokens: List[int] = []
+        phone_tokens: List[str] = []
+        for e in intervals:
+            phone_stop = e.stop - start
+            n_frame_interval = int(phone_stop / frame_shift)
+            duration_tokens.append(n_frame_interval - sum(duration_tokens))
+            phone_tokens.append(e.name if e.name else "<sil>")
+        if sum(duration_tokens) > n_fr:
+            raise AssertionError(
+                f"{cut_id}: sum(duration_tokens)={sum(duration_tokens)} > n_frames={n_fr}"
+            )
+
+        # pad the signal to a sample bucket (multiple of 32768) so the
+        # jitted mel kernel compiles once per (bucket, batch) — not per file
+        bucket = ((y.shape[-1] + 32767) // 32768) * 32768
+        text = open(txt_path, encoding="utf-8").read() if os.path.exists(txt_path) else ""
+        return {
+            "id": cut_id, "speaker": speaker, "text": text,
+            "split": "train" if n % self.test_set_interval else "valid",
+            "n_samples": y.shape[-1], "n_fr": n_fr, "bucket": bucket,
+            "y_pad": np.pad(y, (0, bucket - y.shape[-1])),
+            "phone_tokens": phone_tokens, "duration_tokens": duration_tokens,
+        }
+
+    def make_ds(self, mel_batch: int = 8) -> None:
+        """Stage 1, pipelined: TextGrid/wav parsing runs on a
+        ``--num_workers`` thread pool (the reference parallelizes its mel
+        extraction over ``num_jobs`` processes, prepare_ds.py:211-217) while
+        the main thread batches same-bucket signals through the jitted mel
+        kernel and appends features/manifests serially."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax.numpy as jnp
 
         from .ops import mel_spectrogram
@@ -75,7 +134,6 @@ class DatasetMaker:
             glob.glob(f"{self.args.text_grid_path}/**/*.TextGrid", recursive=True)
         )
         os.makedirs(self.args.ds_path, exist_ok=True)
-        frame_shift = HIFIGAN_HOP_LENGTH / HIFIGAN_SR
 
         manifests = {"train": CutManifest(), "valid": CutManifest()}
         writers = {
@@ -84,62 +142,40 @@ class DatasetMaker:
         }
         unique_symbols = set()
         max_duration_token = 0
+        groups: dict = {}  # bucket size -> pending records
 
-        for n, tg in enumerate(tgs):
-            cut_id = os.path.splitext(os.path.basename(tg))[0]
-            speaker = os.path.basename(os.path.dirname(tg))
-            wav_path = os.path.join(self.args.wavtxt_path, speaker, cut_id + ".wav")
-            txt_path = os.path.join(self.args.wavtxt_path, speaker, cut_id + ".txt")
-
-            intervals = [e for e in read_textgrid(tg) if e.tier == "phones"]
-            if not intervals:
-                continue
-            if intervals[0].name == "":
-                intervals = intervals[1:]
-            if intervals[-1].name == "":
-                intervals = intervals[:-1]
-
-            y = load_wav(wav_path, HIFIGAN_SR)
-            if self.args.trim_wav:
-                start_i = int(intervals[0].start * HIFIGAN_SR)
-                stop_i = int(intervals[-1].stop * HIFIGAN_SR)
-                y = peak_normalize(y[start_i:stop_i])
-                save_wav(wav_path, y, HIFIGAN_SR)
-
-            start = intervals[0].start
-            n_fr = num_frames(y.shape[-1])
-
-            duration_tokens: List[int] = []
-            phone_tokens: List[str] = []
-            for e in intervals:
-                phone_stop = e.stop - start
-                n_frame_interval = int(phone_stop / frame_shift)
-                duration_tokens.append(n_frame_interval - sum(duration_tokens))
-                phone_tokens.append(e.name if e.name else "<sil>")
-            if sum(duration_tokens) > n_fr:
-                raise AssertionError(
-                    f"{cut_id}: sum(duration_tokens)={sum(duration_tokens)} > n_frames={n_fr}"
+        def flush(recs: List[dict]) -> None:
+            nonlocal max_duration_token
+            sigs = jnp.asarray(np.stack([r["y_pad"] for r in recs]))
+            mels = np.asarray(mel_spectrogram(sigs), np.float32)
+            for r, mel in zip(recs, mels):
+                mel = mel[: r["n_fr"]]
+                path, off = writers[r["split"]].add(mel)
+                manifests[r["split"]].cuts.append(
+                    Cut(
+                        id=r["id"], speaker=r["speaker"],
+                        duration=r["n_samples"] / HIFIGAN_SR, num_frames=mel.shape[0],
+                        phone_tokens=r["phone_tokens"],
+                        duration_tokens=r["duration_tokens"],
+                        text=r["text"], feats_path=path, feats_offset=off,
+                    )
                 )
+                unique_symbols.update(r["phone_tokens"])
+                max_duration_token = max(max_duration_token, len(r["duration_tokens"]))
 
-            split = "train" if n % self.test_set_interval else "valid"
-            # pad the signal to a sample bucket (multiple of 32768) so the
-            # jitted mel kernel compiles once per bucket, not per file
-            bucket = ((y.shape[-1] + 32767) // 32768) * 32768
-            y_pad = np.pad(y, (0, bucket - y.shape[-1]))
-            mel = np.asarray(mel_spectrogram(jnp.asarray(y_pad)), np.float32)[:n_fr]
-            path, off = writers[split].add(mel)
-
-            text = open(txt_path, encoding="utf-8").read() if os.path.exists(txt_path) else ""
-            manifests[split].cuts.append(
-                Cut(
-                    id=cut_id, speaker=speaker,
-                    duration=y.shape[-1] / HIFIGAN_SR, num_frames=mel.shape[0],
-                    phone_tokens=phone_tokens, duration_tokens=duration_tokens,
-                    text=text, feats_path=path, feats_offset=off,
-                )
-            )
-            unique_symbols.update(phone_tokens)
-            max_duration_token = max(max_duration_token, len(duration_tokens))
+        workers = max(1, self.args.num_workers)
+        with ThreadPoolExecutor(workers) as ex:
+            for rec in ex.map(self._parse_one, range(len(tgs)), tgs):
+                if rec is None:
+                    continue
+                pending = groups.setdefault(rec["bucket"], [])
+                pending.append(rec)
+                if len(pending) >= mel_batch:
+                    flush(pending)
+                    groups[rec["bucket"]] = []
+        for bucket in sorted(groups):
+            if groups[bucket]:
+                flush(groups[bucket])
 
         for split, m in manifests.items():
             writers[split].close()

@@ -135,7 +135,7 @@ def make_gan_train_step(
         def d_apply(params, bstats, mel, rng):
             out, mut = d.apply(
                 {"params": params, "batch_stats": bstats},
-                mel, starts=starts, train=True,
+                mel, starts=starts, train=True, max_true_len=max_len,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )

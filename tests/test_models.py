@@ -196,6 +196,45 @@ class TestDiscriminator:
         assert out["y"].shape == (2, 1)
         assert np.isfinite(np.asarray(out["y"])).all()
 
+    def test_short_clips_ignore_padding(self):
+        """Reference skips windows longer than the clip (dscrm.py:78-84
+        intent); here they are masked: with all-short utterances, validity
+        and D-loss grads are invariant to padding content (VERDICT #6)."""
+        import jax
+
+        cfg = DiscriminatorConfig(time_lengths=(8, 16, 32), freq_length=12, hidden_size=8)
+        d = Discriminator(cfg)
+        rng = np.random.RandomState(7)
+        T, true_max = 32, 20  # 32-frame window cannot fit any true mel
+        base = rng.randn(2, T, 12).astype(np.float32)
+        base[:, true_max:] = 0.0
+        junk = base.copy()
+        junk[:, true_max:] = rng.randn(2, T - true_max, 12)
+
+        variables = d.init(KEY, jnp.asarray(base), starts=[0, 0, 0])
+        starts = [2, 3, 0]  # 8/16 windows fit within true_max (start+wl<=20)
+        max_len = jnp.asarray(true_max, jnp.int32)
+
+        def loss(params, mel):
+            out, _ = d.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                mel, starts=starts, train=True, max_true_len=max_len,
+                mutable=["batch_stats"], rngs={"dropout": KEY},
+            )
+            return jnp.mean((out["y"] - 1.0) ** 2), out["y"]
+
+        (l1, y1), g1 = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], jnp.asarray(base))
+        (l2, y2), g2 = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], jnp.asarray(junk))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+        np.testing.assert_allclose(float(l1), float(l2), atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            g1, g2,
+        )
+
 
 class TestHiFiGAN:
     def test_upsampling_factor(self):
