@@ -20,15 +20,47 @@ import jax.numpy as jnp
 from ..config import HiFiGANConfig
 
 
+def _polyphase_plan(k: int, s: int):
+    """Static decomposition of ConvTranspose1d(k, s, p=(k-s)//2) into one
+    dense conv: output phase r (position s*q+r) reads input window
+    [q+lo, q+hi] through taps kernel[j0(r)::s].  Returns (lo, hi, placements)
+    where placements = [(r, u, j, shift)] maps kernel tap j into row
+    ``shift`` of the combined (hi-lo+1, in, s*out) kernel."""
+    p = (k - s) // 2
+    rows = []
+    for r in range(s):
+        j0 = (k - 1 - p - r) % s
+        taps = list(range(j0, k, s))
+        off0 = (r - (k - 1 - p) + j0) // s
+        rows.append((r, taps, off0))
+    lo = min(o for _, _, o in rows)
+    hi = max(o + len(t) - 1 for _, t, o in rows)
+    placements = [
+        (r, o - lo + u, j)
+        for r, taps, o in rows
+        for u, j in enumerate(taps)
+    ]
+    return lo, hi, placements
+
+
 class TransposedConv1d(nn.Module):
     """Exact torch ``ConvTranspose1d(k, s, padding=(k-s)//2)`` equivalent:
     output length = T*s.  Kernel stored (k, in, out); torch weights convert
-    via transpose(2,0,1) + kernel flip."""
+    via transpose(2,0,1) + kernel flip.
+
+    ``polyphase=True`` lowers it as a dense conv — one ``(width, in, s*out)``
+    kernel + phase interleave — instead of ``lhs_dilation`` (input-dilated
+    conv).  Numerics are identical (test_models.py asserts vs the
+    lhs_dilation path).  Measured on v5e (tools/perf_probe.py): XLA already
+    lowers the lhs_dilation form well and the polyphase interleave-reshape
+    breaks fusion with the surrounding resblocks (111 ms vs 191 ms for the
+    full generator at B=8×512 frames), so the default stays False."""
 
     features: int
     kernel_size: int
     stride: int
     dtype: Any = jnp.float32
+    polyphase: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,14 +74,32 @@ class TransposedConv1d(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        out = jax.lax.conv_general_dilated(
+        if not self.polyphase:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            return out + bias.astype(self.dtype)
+
+        lo, hi, placements = _polyphase_plan(k, s)
+        width = hi - lo + 1
+        big = jnp.zeros((width, in_ch, s, self.features), kernel.dtype)
+        for r, shift, j in placements:
+            big = big.at[shift, :, r, :].set(kernel[j])
+        big = big.reshape(width, in_ch, s * self.features)
+        B, T, _ = x.shape
+        z = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
+            big.astype(self.dtype),
             window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(s,),
+            padding=[(-lo, hi)],
             dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        )  # (B, T, s*out); z[q, r*out:...] = y[s*q+r]
+        out = z.reshape(B, T, s, self.features).reshape(B, T * s, self.features)
         return out + bias.astype(self.dtype)
 
 

@@ -173,12 +173,17 @@ class Megatts:
         texts: list,
         mels_prompt: np.ndarray,  # (B, Tm, 80) — per-utterance prompt mels
         mesh=None,
+        max_frames: Optional[int] = None,
     ) -> list:
         """Production batched synthesis: pads phone sequences to a bucket,
         runs the full jitted cascade once for the whole batch — optionally
         sharded over a Mesh's 'data' axis (utterances across chips, per-chip
         KV caches; the v5e-8 serving layout) — and returns per-utterance
-        trimmed waveforms."""
+        trimmed waveforms.  ``max_frames`` overrides the instance default so
+        callers can length-bucket the static frame budget (serve.py groups
+        mixed-length traffic into a small set of buckets — the AR scans and
+        the vocoder then cost proportional to the bucket, not the global
+        worst case)."""
         from ..data.sampler import round_up
 
         ids = [self.phone_ids(t) for t in texts]
@@ -201,7 +206,7 @@ class Megatts:
         wav, _, n_frames = synthesize(
             self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
             self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
-            *args, max_frames=self.max_frames, dtype=self.dtype,
+            *args, max_frames=max_frames or self.max_frames, dtype=self.dtype,
         )
         wav = np.asarray(wav)
         n = np.asarray(n_frames)

@@ -2,8 +2,13 @@
 
 Production driver for throughput synthesis (the v5e-8 layout: utterances
 sharded over the mesh's data axis, per-chip KV caches).  Reads a JSONL
-manifest of requests, groups them into fixed-size batches per prompt, runs
-the jitted cascade, writes wavs, and reports throughput.
+manifest of requests, LENGTH-BUCKETS them (estimated frames =
+``--frames_per_phone`` × phone count, rounded up to the next of
+``--buckets``), groups into fixed-size batches per (prompt, bucket), runs
+the jitted cascade per bucket, writes wavs, and reports throughput.  Short
+requests then pay a short AR scan + vocoder instead of the global
+worst-case budget (mixed-length traffic ≈ the reference's dynamic-batching
+intent, modules/datamodule.py:346-366, with TPU-static shapes).
 
     python -m megatts2_tpu.serve --requests reqs.jsonl --out_dir out/ \
         --g_ckpt ... --plm_ckpt ... --adm_ckpt ... --symbol_table ...
@@ -29,6 +34,12 @@ def parse_args(argv=None):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1024)
+    p.add_argument("--buckets", default="256,512,1024,2048",
+                   help="comma-separated frame buckets for length grouping")
+    p.add_argument("--frames_per_phone", type=float, default=16.0,
+                   help="frame-budget estimate per phone (conservative; a "
+                        "request whose true duration exceeds its bucket is "
+                        "truncated at the bucket, same as --max_frames today)")
     p.add_argument("--n_model", type=int, default=1)
     p.add_argument("--g_ckpt", default=None)
     p.add_argument("--g_config", default="configs/config_gan.yaml")
@@ -67,20 +78,34 @@ def main(argv=None):
     mesh = make_mesh(n_model=args.n_model)
     os.makedirs(args.out_dir, exist_ok=True)
 
+    buckets = sorted(int(b) for b in args.buckets.split(",") if int(b) <= args.max_frames)
+    if not buckets or buckets[-1] < args.max_frames:
+        buckets.append(args.max_frames)
+
+    def frame_bucket(text: str) -> int:
+        est = len(tts.phone_ids(text)) * args.frames_per_phone
+        for b in buckets:
+            if est <= b:
+                return b
+        return buckets[-1]
+
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]
-    by_prompt = defaultdict(list)
+    by_group = defaultdict(list)  # (wavs_dir, frame bucket) -> requests
     for r in requests:
-        by_prompt[r["wavs_dir"]].append(r)
+        by_group[(r["wavs_dir"], frame_bucket(r["text"]))].append(r)
 
     t0 = time.time()
     done = 0
     audio_s = 0.0
-    for wavs_dir, reqs in by_prompt.items():
-        mels = []
-        for w in sorted(glob.glob(os.path.join(wavs_dir, "*.wav"))):
-            y = peak_normalize(load_wav(w, HIFIGAN_SR))
-            mels.append(np.asarray(mel_spectrogram(jnp.asarray(y))))
-        mel_prompt = np.concatenate(mels, axis=0)
+    prompt_cache = {}
+    for (wavs_dir, bucket), reqs in sorted(by_group.items()):
+        if wavs_dir not in prompt_cache:
+            mels = []
+            for w in sorted(glob.glob(os.path.join(wavs_dir, "*.wav"))):
+                y = peak_normalize(load_wav(w, HIFIGAN_SR))
+                mels.append(np.asarray(mel_spectrogram(jnp.asarray(y))))
+            prompt_cache[wavs_dir] = np.concatenate(mels, axis=0)
+        mel_prompt = prompt_cache[wavs_dir]
         for i in range(0, len(reqs), args.batch_size):
             chunk = reqs[i : i + args.batch_size]
             # pad the final chunk so the jit shape stays fixed
@@ -89,7 +114,7 @@ def main(argv=None):
             prompts = np.broadcast_to(
                 mel_prompt[None], (len(texts),) + mel_prompt.shape
             )
-            wavs = tts.synthesize_batch(texts, prompts, mesh=mesh)
+            wavs = tts.synthesize_batch(texts, prompts, mesh=mesh, max_frames=bucket)
             for r, wav in zip(chunk, wavs):
                 save_wav(os.path.join(args.out_dir, f"{r['id']}.wav"), wav)
                 audio_s += wav.shape[0] / HIFIGAN_SR

@@ -250,6 +250,24 @@ class TestHiFiGAN:
         assert wav.shape == (1, 20 * 16)
         assert np.abs(np.asarray(wav)).max() <= 1.0
 
+    def test_polyphase_transposed_conv_matches_lhs_dilation(self):
+        """The MXU-shaped polyphase lowering must be numerically identical
+        to the reference lhs_dilation transposed conv for every (k, s) the
+        V1 generator uses."""
+        from megatts2_tpu.models.hifigan import TransposedConv1d
+
+        rng = np.random.RandomState(3)
+        for k, s, cin, cout in [(16, 8, 6, 4), (4, 2, 8, 3), (8, 4, 5, 7)]:
+            x = jnp.asarray(rng.randn(2, 11, cin).astype(np.float32))
+            ref_mod = TransposedConv1d(cout, k, s, polyphase=False)
+            variables = ref_mod.init(KEY, x)
+            ref = ref_mod.apply(variables, x)
+            ours = TransposedConv1d(cout, k, s, polyphase=True).apply(variables, x)
+            assert ours.shape == (2, 11 * s, cout)
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), atol=2e-5, err_msg=f"k={k} s={s}"
+            )
+
 
 class TestScanStacks:
     def test_scanned_convnet_matches_unscanned(self):

@@ -1,0 +1,172 @@
+"""TPU perf probe: vocoder lowering A/B, flash-vs-einsum attention A/B,
+and cascade MFU.  Feeds BENCHMARKS.md (run on the real chip, in background;
+~10 min cold, ~2 min warm cache).
+
+    python tools/perf_probe.py [section ...]   # sections: hifigan attn cascade
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatts2_tpu import enable_compilation_cache
+from megatts2_tpu.config import (
+    HiFiGANConfig,
+    MegaADMConfig,
+    MegaGConfig,
+    MegaPLMConfig,
+)
+from megatts2_tpu.utils.flops import PEAK_FLOPS, hifigan_flops, synthesis_flops
+
+enable_compilation_cache()
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / iters
+
+
+def section_hifigan():
+    from megatts2_tpu.models.hifigan import HiFiGAN
+
+    B, T = 8, 512
+    cfg = HiFiGANConfig()
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
+    flops = hifigan_flops(cfg, B, T)
+    for name, poly in (("polyphase", True), ("lhs_dilation", False)):
+        import dataclasses
+
+        model = HiFiGAN(cfg, dtype=jnp.bfloat16)
+        # polyphase flag lives on TransposedConv1d; monkeypatch default
+        from megatts2_tpu.models import hifigan as hg
+
+        orig = hg.TransposedConv1d
+        hg.TransposedConv1d = lambda *a, **kw: orig(*a, **{**kw, "polyphase": poly})
+        try:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1, :8])["params"]
+            params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+            f = jax.jit(lambda p, m: model.apply({"params": p}, m))
+            dt = timeit(f, params, mel)
+        finally:
+            hg.TransposedConv1d = orig
+        print(json.dumps({
+            "section": "hifigan", "variant": name, "ms": round(dt * 1e3, 2),
+            "gflop": round(flops / 1e9, 1),
+            "mfu": round(flops / dt / PEAK_FLOPS["bf16"], 4),
+        }), flush=True)
+
+
+def section_attn():
+    from megatts2_tpu.nn.transformer import _attend
+    from megatts2_tpu.ops.attention_pallas import flash_attention_vjp
+    from megatts2_tpu.ops.masks import make_attn_mask
+
+    H, Dh = 16, 64
+    d = H * Dh
+    for B, T in [(8, 512), (4, 1024), (2, 2048)]:
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32), jnp.bfloat16)
+        lens = jnp.full((B,), T, jnp.int32)
+        flops_fwd = 4 * B * H * T * T * Dh / 2  # causal halves useful work
+
+        def einsum_fwd(q, k, v, lens):
+            mask = make_attn_mask(lens, T, causal=True)
+            return _attend(q, k, v, mask)
+
+        def flash_fwd(q, k, v, lens):
+            return flash_attention_vjp(q, k, v, lens, True)
+
+        def train(fwd):
+            def loss(q, k, v, lens):
+                return jnp.sum(fwd(q, k, v, lens).astype(jnp.float32))
+
+            g = jax.grad(loss, argnums=(0, 1, 2))
+            return jax.jit(lambda q, k, v, lens: g(q, k, v, lens))
+
+        res = {"section": "attn", "B": B, "T": T}
+        for name, fwd in (("einsum", einsum_fwd), ("flash", flash_fwd)):
+            jf = jax.jit(fwd)
+            dt_f = timeit(jf, q, k, v, lens)
+            dt_t = timeit(train(fwd), q, k, v, lens)
+            res[f"{name}_fwd_ms"] = round(dt_f * 1e3, 3)
+            res[f"{name}_fwdbwd_ms"] = round(dt_t * 1e3, 3)
+            res[f"{name}_fwd_mfu"] = round(flops_fwd / dt_f / PEAK_FLOPS["bf16"], 4)
+        print(json.dumps(res), flush=True)
+
+
+def section_cascade():
+    from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+    from megatts2_tpu.models.megatts import synthesize
+
+    B, Tp, Tm, max_frames = 8, 64, 512, 512
+    g_cfg = MegaGConfig()
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)
+    hifi_cfg = HiFiGANConfig()
+    key = jax.random.PRNGKey(0)
+    g_vars = jax.jit(MegaG(g_cfg).init)(
+        {"params": key, "vq": key},
+        jnp.ones((1, Tp), jnp.int32), jnp.zeros((1, Tp), jnp.int32),
+        jnp.asarray([Tp]), jnp.zeros((1, 128, 80)), jnp.zeros((1, 128, 80)),
+    )
+    plm_params = jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+    )["params"]
+    adm_params = jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+    )["params"]
+    hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
+    plm_params, adm_params, hifi_params = cast(plm_params), cast(adm_params), cast(hifi_params)
+
+    rng = np.random.RandomState(0)
+    phones = jnp.asarray(rng.randint(1, 320, (B, Tp)), jnp.int32)
+    lens = jnp.full((B,), Tp, jnp.int32)
+    mels = jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32))
+
+    def run():
+        wav, _, nf = synthesize(
+            g_vars, plm_params, adm_params, hifi_params,
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+            phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+        )
+        np.asarray(wav[:, -1])
+        return wav
+
+    run()
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    fl = synthesis_flops(g_cfg, plm_cfg, adm_cfg, hifi_cfg, B, Tp, Tm, max_frames)
+    print(json.dumps({
+        "section": "cascade", "B": B, "ms": round(dt * 1e3, 1),
+        "gflop_total": round(fl["total"] / 1e9, 1),
+        "stage_gflop": {k: round(v / 1e9, 1) for k, v in fl.items() if k != "total"},
+        "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    sections = sys.argv[1:] or ["hifigan", "attn", "cascade"]
+    for s in sections:
+        globals()[f"section_{s}"]()
