@@ -36,6 +36,16 @@ def megag_from_pretrained(ckpt: str, config: str) -> Tuple[MegaGConfig, dict]:
     return g_cfg, load_generator_from_orbax(ckpt)
 
 
+def discriminator_from_pretrained(ckpt: str, config: str):
+    """→ (cfg, {'params','batch_stats'}) from a reference GAN Lightning
+    checkpoint ('D.'-prefixed keys) — lets GAN training resume with the
+    reference discriminator, not a fresh one."""
+    _, d_cfg, _ = load_gan_config(config)
+    from ..training.convert import convert_discriminator, load_torch_state_dict
+
+    return d_cfg, convert_discriminator(load_torch_state_dict(ckpt, prefix="D."), d_cfg)
+
+
 def _lm_from_orbax(ckpt: str) -> dict:
     from ..training.checkpoints import latest_checkpoint, restore_pytree
     import os

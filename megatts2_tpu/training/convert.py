@@ -222,6 +222,44 @@ def convert_adm(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     }
 
 
+def convert_discriminator(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Reference Discriminator state_dict (prefix 'D.' stripped;
+    modules/dscrm.py:11-140) → {'params', 'batch_stats'} for our
+    ``models/dscrm.py::Discriminator``.
+
+    Layout notes: torch keys are
+    ``discriminator.discriminators.{i}.model.{j}.0`` (Conv2d) / ``.3``
+    (BatchNorm2d, j<2) and ``.adv_layer``; the torch adv_layer consumes an
+    NCHW flatten (C, T', F') while ours flattens channels-last (T', F', C),
+    so the Linear kernel is permuted accordingly."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    fp = (cfg.freq_length + 7) // 8
+    for i, wl in enumerate(cfg.time_lengths):
+        base = f"discriminator.discriminators.{i}"
+        dp: Dict[str, Any] = {}
+        ds: Dict[str, Any] = {}
+        for j in range(3):
+            dp[f"conv_{j}"] = _conv2d(sd, f"{base}.model.{j}.0")
+            if j < 2:
+                bn = f"{base}.model.{j}.3"
+                dp[f"bn_{j}"] = {"scale": sd[f"{bn}.weight"], "bias": sd[f"{bn}.bias"]}
+                ds[f"bn_{j}"] = {
+                    "mean": sd[f"{bn}.running_mean"],
+                    "var": sd[f"{bn}.running_var"],
+                }
+        w = sd[f"{base}.adv_layer.weight"]  # (1, C*T'*F')
+        tp = wl // 8
+        c = cfg.hidden_size
+        kernel = (
+            w.reshape(c, tp, fp).transpose(1, 2, 0).reshape(tp * fp * c)[:, None]
+        )
+        dp["adv_layer"] = {"kernel": kernel, "bias": sd[f"{base}.adv_layer.bias"]}
+        params[f"disc_{i}"] = dp
+        stats[f"disc_{i}"] = ds
+    return {"params": params, "batch_stats": stats}
+
+
 def _fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Fold torch weight_norm (weight_g / weight_v) pairs into plain
     weights (HiFi-GAN checkpoints ship weight-normalized)."""

@@ -318,6 +318,49 @@ class TestLMLiteralParity:
         np.testing.assert_array_equal(ours, ref_dur)
 
 
+class TestDiscriminatorLiteralParity:
+    def test_forward_matches_reference(self, ref):
+        """Literal reference Discriminator (modules/dscrm.py:113-140) vs ours
+        through convert_discriminator — incl. the NCHW→NHWC adv_layer
+        flatten permutation and BatchNorm running stats."""
+        import importlib
+
+        from megatts2_tpu.config import DiscriminatorConfig
+        from megatts2_tpu.models import Discriminator
+        from megatts2_tpu.training.convert import convert_discriminator
+
+        dscrm = importlib.import_module("modules.dscrm")
+        torch.manual_seed(21)
+        tls, freq, hid = (8, 16), 16, 8
+        rd = dscrm.Discriminator(
+            time_lengths=list(tls), freq_length=freq, hidden_size=hid
+        ).eval()
+        # non-trivial BN running stats
+        rng = np.random.RandomState(22)
+        for m in rd.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.data.copy_(torch.from_numpy(
+                    rng.randn(hid).astype(np.float32) * 0.3))
+                m.running_var.data.copy_(torch.from_numpy(
+                    0.5 + rng.rand(hid).astype(np.float32)))
+
+        B, T = 2, 24
+        mel = rng.randn(B, T, freq).astype(np.float32)
+        starts = [3, 5]
+        with torch.no_grad():
+            ref_out = rd(torch.from_numpy(mel),
+                         start_frames_wins=[[s] * B for s in starts])
+        ref_y = ref_out["y"].numpy()
+
+        cfg = DiscriminatorConfig(time_lengths=tls, freq_length=freq, hidden_size=hid)
+        variables = convert_discriminator(sd_numpy(rd), cfg)
+        out = Discriminator(cfg).apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(mel), starts=starts, train=False,
+        )
+        np.testing.assert_allclose(np.asarray(out["y"]), ref_y, atol=5e-5)
+
+
 class TestVQEMALiteralParity:
     def test_train_step_matches_reference_core_vq(self, ref):
         """One EMA training step of the literal EnCodec VectorQuantization
