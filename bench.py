@@ -99,13 +99,19 @@ def main():
         wav, n_frames = run()
     dt = (time.perf_counter() - t0) / iters
 
-    audio_seconds = float(np.asarray(n_frames).sum()) * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
-    # conservative: if duration model collapses on random weights, fall back
-    # to the padded budget so RTF is not inflated by tiny outputs
-    audio_seconds = max(audio_seconds, B * max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR * 0.5)
+    gen_audio_s = float(np.asarray(n_frames).sum()) * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
+    budget_audio_s = B * max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
+    # conservative accounting (unchanged since r1 for comparability): if the
+    # random-weight duration model collapses, count only HALF the padded
+    # budget as audio even though the device computes ALL of it.  detail
+    # carries the transparent alternates: rtf_padded_budget (compute per
+    # padded audio-second actually computed) and rtf_generated_raw.
+    audio_seconds = max(gen_audio_s, budget_audio_s * 0.5)
     rtf = dt / (audio_seconds / B)  # compute seconds per second of ONE utt
-    utt_per_sec = B / dt * (max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR) / (audio_seconds / B)
 
+    from megatts2_tpu.utils.flops import PEAK_FLOPS, synthesis_flops
+
+    fl = synthesis_flops(g_cfg, plm_cfg, adm_cfg, hifi_cfg, B, Tp, Tm, max_frames)
     print(
         json.dumps(
             {
@@ -118,6 +124,10 @@ def main():
                     "batch_wall_s": round(dt, 4),
                     "audio_s_total": round(audio_seconds, 2),
                     "utt_per_sec_single_chip": round(B / dt, 3),
+                    "rtf_padded_budget": round(dt / (budget_audio_s / B), 5),
+                    "rtf_generated_raw": round(dt / max(gen_audio_s / B, 1e-9), 5),
+                    "gflop_per_batch": round(fl["total"] / 1e9, 1),
+                    "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
                     "device": str(jax.devices()[0]),
                 },
             }

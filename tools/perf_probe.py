@@ -28,14 +28,40 @@ from megatts2_tpu.utils.flops import PEAK_FLOPS, hifigan_flops, synthesis_flops
 enable_compilation_cache()
 
 
+_NOOP = None
+
+
+def dispatch_overhead() -> float:
+    global _NOOP
+    if _NOOP is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros(())
+        np.asarray(f(x))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.asarray(f(x))
+        _NOOP = (time.perf_counter() - t0) / 10
+    return _NOOP
+
+
+def scalarize(fn):
+    """Wrap fn so only a scalar crosses the device→host tunnel."""
+    return jax.jit(
+        lambda *a: sum(
+            jnp.sum(l.astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(fn(*a))
+        )
+    )
+
+
 def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    """fn must return a SCALAR (use scalarize); dispatch overhead is
+    subtracted."""
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / iters
+        np.asarray(fn(*args))
+    return max((time.perf_counter() - t0) / iters - dispatch_overhead(), 1e-6)
 
 
 def section_hifigan():
@@ -58,7 +84,7 @@ def section_hifigan():
         try:
             params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1, :8])["params"]
             params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
-            f = jax.jit(lambda p, m: model.apply({"params": p}, m))
+            f = scalarize(lambda p, m: model.apply({"params": p}, m))
             dt = timeit(f, params, mel)
         finally:
             hg.TransposedConv1d = orig
@@ -96,11 +122,11 @@ def section_attn():
                 return jnp.sum(fwd(q, k, v, lens).astype(jnp.float32))
 
             g = jax.grad(loss, argnums=(0, 1, 2))
-            return jax.jit(lambda q, k, v, lens: g(q, k, v, lens))
+            return scalarize(lambda q, k, v, lens: g(q, k, v, lens))
 
         res = {"section": "attn", "B": B, "T": T}
         for name, fwd in (("einsum", einsum_fwd), ("flash", flash_fwd)):
-            jf = jax.jit(fwd)
+            jf = scalarize(fwd)
             dt_f = timeit(jf, q, k, v, lens)
             dt_t = timeit(train(fwd), q, k, v, lens)
             res[f"{name}_fwd_ms"] = round(dt_f * 1e3, 3)

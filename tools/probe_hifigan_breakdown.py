@@ -25,26 +25,52 @@ enable_compilation_cache()
 DT = jnp.bfloat16
 
 
+_NOOP = None
+
+
+def dispatch_overhead() -> float:
+    """Per-call cost of dispatch + scalar device→host on this target
+    (~75 ms through the axon tunnel); subtracted from all measurements."""
+    global _NOOP
+    if _NOOP is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros(())
+        np.asarray(f(x))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.asarray(f(x))
+        _NOOP = (time.perf_counter() - t0) / 10
+    return _NOOP
+
+
 def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    """fn must be jitted and return a SCALAR (only a scalar crosses the
+    tunnel; transferring real outputs would swamp the measurement)."""
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / iters
+        np.asarray(fn(*args))
+    return max((time.perf_counter() - t0) / iters - dispatch_overhead(), 1e-6)
+
+
+RESULTS = "/tmp/probe_hifigan_results.jsonl"
 
 
 def bench_module(tag, mod, x, flops):
     params = jax.jit(mod.init)(jax.random.PRNGKey(0), x[:1, :256])["params"]
     params = jax.tree_util.tree_map(lambda a: a.astype(DT), params)
-    f = jax.jit(lambda p, y: mod.apply({"params": p}, y))
-    dt = timeit(f, params, x)
-    print(json.dumps({
+    f = jax.jit(
+        lambda p, y: jnp.sum(mod.apply({"params": p}, y).astype(jnp.float32))
+    )
+    dt = timeit(f, params, x, iters=5)
+    line = json.dumps({
         "tag": tag, "ms": round(dt * 1e3, 2), "gflop": round(flops / 1e9, 1),
         "mfu": round(flops / dt / PEAK_FLOPS["bf16"], 4),
         "shape": list(x.shape),
-    }), flush=True)
+    })
+    print(line, flush=True)
+    with open(RESULTS, "a") as fh:
+        fh.write(line + "\n")
     return dt
 
 
@@ -99,56 +125,65 @@ class BlockedResBlock(nn.Module):
         return xb.reshape(B, T, ch)
 
 
-def main():
+def sec_stages01():
     cfg = HiFiGANConfig()
     B, T0 = 8, 512
     rng = np.random.RandomState(0)
-
-    # conv_pre
     x80 = jnp.asarray(rng.randn(B, T0, 80).astype(np.float32), DT)
-    bench_module(
-        "conv_pre",
-        nn.Conv(512, (7,), padding=[(3, 3)], dtype=DT),
-        x80, B * T0 * 7 * 80 * 512 * 2,
-    )
-
+    bench_module("conv_pre", nn.Conv(512, (7,), padding=[(3, 3)], dtype=DT),
+                 x80, B * T0 * 7 * 80 * 512 * 2)
     t = T0
     ch_in = 512
-    total_ms = 0.0
-    for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+    for i in (0, 1):
+        r, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         ch = 512 // (2 ** (i + 1))
         x = jnp.asarray(rng.randn(B, t, ch_in).astype(np.float32), DT)
-        bench_module(
-            f"ups_{i}(k{k},s{r},{ch_in}->{ch})",
-            TransposedConv1d(ch, k, r, dtype=DT),
-            x, B * t * k * ch_in * ch * 2,
-        )
+        bench_module(f"ups_{i}(k{k},s{r},{ch_in}->{ch})",
+                     TransposedConv1d(ch, k, r, dtype=DT), x,
+                     B * t * k * ch_in * ch * 2)
         t *= r
         xr = jnp.asarray(rng.randn(B, t, ch).astype(np.float32), DT)
-        fl = sum(
-            len(rd) * 2 * B * t * rk * ch * ch * 2
-            for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-        )
+        fl = sum(len(rd) * 2 * B * t * rk * ch * ch * 2
+                 for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes))
         bench_module(f"resbank_{i}(T{t},ch{ch})", ResBank(ch, cfg), xr, fl)
         ch_in = ch
 
-    # candidate: blocked resblock on the worst stages (small ch, huge T)
-    for i, (t_s, ch) in enumerate([(32768, 128), (65536, 64), (131072, 32)]):
-        xr = jnp.asarray(rng.randn(B, t_s, ch).astype(np.float32), DT)
-        # reference: one plain ResBlock1 k=11 d=(1,3,5)
-        fl = 3 * 2 * B * t_s * 11 * ch * ch * 2
-        bench_module(f"rb_plain(T{t_s},ch{ch},k11)",
-                     ResBlock1(ch, 11, (1, 3, 5), dtype=DT), xr, fl)
-        bench_module(f"rb_blocked(T{t_s},ch{ch},k11,blk4)",
-                     BlockedResBlock(ch, 11, (1, 3, 5), blk=4), xr, fl)
-        bench_module(f"rb_blocked8(T{t_s},ch{ch},k11,blk8)",
-                     BlockedResBlock(ch, 11, (1, 3, 5), blk=8), xr, fl)
 
-    # conv_post
+def sec_stages23():
+    cfg = HiFiGANConfig()
+    B = 8
+    rng = np.random.RandomState(0)
+    t, ch_in = 32768, 128
+    for i in (2, 3):
+        r, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
+        ch = 512 // (2 ** (i + 1))
+        x = jnp.asarray(rng.randn(B, t, ch_in).astype(np.float32), DT)
+        bench_module(f"ups_{i}(k{k},s{r},{ch_in}->{ch})",
+                     TransposedConv1d(ch, k, r, dtype=DT), x,
+                     B * t * k * ch_in * ch * 2)
+        t *= r
+        xr = jnp.asarray(rng.randn(B, t, ch).astype(np.float32), DT)
+        fl = sum(len(rd) * 2 * B * t * rk * ch * ch * 2
+                 for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes))
+        bench_module(f"resbank_{i}(T{t},ch{ch})", ResBank(ch, cfg), xr, fl)
+        ch_in = ch
     xl = jnp.asarray(rng.randn(B, t, 32).astype(np.float32), DT)
     bench_module("conv_post", nn.Conv(1, (7,), padding=[(3, 3)], dtype=DT),
                  xl, B * t * 7 * 32 * 2)
 
 
+def sec_blocked():
+    B = 8
+    rng = np.random.RandomState(0)
+    for t_s, ch in [(65536, 64), (131072, 32)]:
+        xr = jnp.asarray(rng.randn(B, t_s, ch).astype(np.float32), DT)
+        fl = 3 * 2 * B * t_s * 11 * ch * ch * 2
+        bench_module(f"rb_plain(T{t_s},ch{ch},k11)",
+                     ResBlock1(ch, 11, (1, 3, 5), dtype=DT), xr, fl)
+        bench_module(f"rb_blocked(T{t_s},ch{ch},k11,blk4)",
+                     BlockedResBlock(ch, 11, (1, 3, 5), blk=4), xr, fl)
+
+
 if __name__ == "__main__":
-    main()
+    for sec in sys.argv[1:] or ["stages01", "stages23", "blocked"]:
+        globals()[f"sec_{sec}"]()
