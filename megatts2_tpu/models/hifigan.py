@@ -103,6 +103,99 @@ class TransposedConv1d(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+def _blocked_conv_kernel(w: jnp.ndarray, d: int, b: int):
+    """Exact space-to-depth transform of a dilated 'same' conv kernel:
+    w (k, cin, cout) with dilation d acting on (T, cin) ≡ a dense kernel
+    (width, b*cin, b*cout) acting on the blocked layout (T/b, b*cin).
+    Returns (Wb, lo, hi) with conv padding (-lo, hi)."""
+    k, ci, co = w.shape
+    p1 = (k - 1) * d // 2
+    entries = [
+        (r, j, (r - p1 + d * j) // b, (r - p1 + d * j) % b)
+        for r in range(b)
+        for j in range(k)
+    ]
+    lo = min(e[2] for e in entries)
+    hi = max(e[2] for e in entries)
+    Wb = jnp.zeros((hi - lo + 1, b, ci, b, co), w.dtype)
+    for r, j, s, c in entries:
+        Wb = Wb.at[s - lo, c, :, r, :].set(w[j])
+    return Wb.reshape(hi - lo + 1, b * ci, b * co), lo, hi
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact param tree (kernel, bias) so
+    blocked resblocks stay checkpoint-compatible with ResBlock1."""
+
+    k: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.k, self.cin, self.cout),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,), jnp.float32)
+        return kernel, bias
+
+
+class ResBlock1Blocked(nn.Module):
+    """ResBlock1 computed in a space-to-depth layout: (B, T, ch) reshaped
+    (free, row-major) to (B, T/block, block*ch); each dilated conv becomes a
+    dense conv with K=width*block*ch, N=block*ch — MXU-shaped where raw
+    ch (e.g. 32) would waste 3/4 of the lanes.  Numerics identical to
+    ResBlock1 (same taps/weights; tests assert ≤1e-5), params identical
+    (``convs1_{i}``/``convs2_{i}`` kernel+bias).  Measured on v5e: 2.3×
+    faster at ch=32 (tools/probe_hifigan_breakdown.py)."""
+
+    channels: int
+    kernel_size: int
+    dilations: tuple
+    lrelu_slope: float = 0.1
+    dtype: Any = jnp.float32
+    block: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, b, ch = self.kernel_size, self.block, self.channels
+        B, T, _ = x.shape
+        pad = (-T) % b
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        xb = x.reshape(B, (T + pad) // b, b * ch).astype(self.dtype)
+
+        # pad positions must STAY zero between convs (the dense form
+        # zero-pads each conv independently; bias would otherwise leak into
+        # the tail and corrupt edge outputs through the residual chain)
+        mask = None
+        if pad:
+            mask = (jnp.arange(T + pad) < T).astype(self.dtype)
+            mask = jnp.broadcast_to(mask[None, :, None], (1, T + pad, ch)).reshape(
+                1, (T + pad) // b, b * ch
+            )
+
+        def bconv(name, y, d):
+            kernel, bias = _ConvParams(k, ch, ch, name=name)()
+            Wb, lo, hi = _blocked_conv_kernel(kernel.astype(self.dtype), d, b)
+            z = jax.lax.conv_general_dilated(
+                y, Wb, window_strides=(1,), padding=[(-lo, hi)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            z = z + jnp.tile(bias.astype(self.dtype), b)
+            return z * mask if mask is not None else z
+
+        for i, d in enumerate(self.dilations):
+            y = nn.leaky_relu(xb, self.lrelu_slope)
+            y = bconv(f"convs1_{i}", y, d)
+            y = nn.leaky_relu(y, self.lrelu_slope)
+            y = bconv(f"convs2_{i}", y, 1)
+            xb = xb + y
+        out = xb.reshape(B, T + pad, ch)
+        return out[:, :T] if pad else out
+
+
 class ResBlock1(nn.Module):
     """MRF residual block: per dilation, LReLU→dilated conv→LReLU→conv."""
 
@@ -149,13 +242,20 @@ class HiFiGAN(nn.Module):
             x = nn.leaky_relu(x, c.lrelu_slope)
             x = TransposedConv1d(ch, k, r, dtype=self.dtype, name=f"ups_{i}")(x)
             acc = None
+            blocked = ch <= c.space_to_depth_ch
             for j, (rk, rd) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
             ):
-                y = ResBlock1(
-                    ch, rk, tuple(rd), c.lrelu_slope, dtype=self.dtype,
-                    name=f"resblocks_{i * n_k + j}",
-                )(x)
+                if blocked:
+                    y = ResBlock1Blocked(
+                        ch, rk, tuple(rd), c.lrelu_slope, dtype=self.dtype,
+                        block=max(2, 128 // ch), name=f"resblocks_{i * n_k + j}",
+                    )(x)
+                else:
+                    y = ResBlock1(
+                        ch, rk, tuple(rd), c.lrelu_slope, dtype=self.dtype,
+                        name=f"resblocks_{i * n_k + j}",
+                    )(x)
                 acc = y if acc is None else acc + y
             x = acc / n_k
         x = nn.leaky_relu(x, c.lrelu_slope)

@@ -1,5 +1,7 @@
 """Model-level tests: MegaG forward/s2_latent, PLM/ADM forward + scan infer,
 discriminator, HiFiGAN shapes.  Tiny configs keep CPU compile times sane."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -249,6 +251,38 @@ class TestHiFiGAN:
         wav = v.apply(variables, mel)
         assert wav.shape == (1, 20 * 16)
         assert np.abs(np.asarray(wav)).max() <= 1.0
+
+    def test_blocked_resblock_matches_plain(self):
+        """Space-to-depth resblock (ch≤space_to_depth_ch path) must be
+        numerically identical to ResBlock1 with the SAME params."""
+        from megatts2_tpu.models.hifigan import ResBlock1, ResBlock1Blocked
+
+        rng = np.random.RandomState(11)
+        ch, k = 8, 11
+        x = jnp.asarray(rng.randn(2, 37, ch).astype(np.float32))  # T % block != 0
+        plain = ResBlock1(ch, k, (1, 3, 5))
+        variables = plain.init(KEY, x)
+        ref = plain.apply(variables, x)
+        for block in (2, 4):
+            got = ResBlock1Blocked(ch, k, (1, 3, 5), block=block).apply(variables, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5, err_msg=f"block={block}"
+            )
+
+    def test_generator_space_to_depth_matches_plain(self):
+        cfg_off = HiFiGANConfig(
+            in_channels=12, upsample_initial_channel=32,
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3)),
+            space_to_depth_ch=0,
+        )
+        cfg_on = dataclasses.replace(cfg_off, space_to_depth_ch=16)
+        mel = jnp.asarray(np.random.RandomState(6).randn(2, 24, 12).astype(np.float32))
+        v_off = HiFiGAN(cfg_off)
+        variables = v_off.init(KEY, mel)
+        ref = v_off.apply(variables, mel)
+        got = HiFiGAN(cfg_on).apply(variables, mel)  # same params, blocked path
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
     def test_polyphase_transposed_conv_matches_lhs_dilation(self):
         """The MXU-shaped polyphase lowering must be numerically identical

@@ -65,29 +65,21 @@ def timeit(fn, *args, iters=10):
 
 
 def section_hifigan():
+    import dataclasses
+
     from megatts2_tpu.models.hifigan import HiFiGAN
 
     B, T = 8, 512
-    cfg = HiFiGANConfig()
     rng = np.random.RandomState(0)
     mel = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
-    flops = hifigan_flops(cfg, B, T)
-    for name, poly in (("polyphase", True), ("lhs_dilation", False)):
-        import dataclasses
-
+    flops = hifigan_flops(HiFiGANConfig(), B, T)
+    for name, s2d in (("s2d_ch32(default)", 32), ("s2d_ch64", 64), ("plain", 0)):
+        cfg = dataclasses.replace(HiFiGANConfig(), space_to_depth_ch=s2d)
         model = HiFiGAN(cfg, dtype=jnp.bfloat16)
-        # polyphase flag lives on TransposedConv1d; monkeypatch default
-        from megatts2_tpu.models import hifigan as hg
-
-        orig = hg.TransposedConv1d
-        hg.TransposedConv1d = lambda *a, **kw: orig(*a, **{**kw, "polyphase": poly})
-        try:
-            params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1, :8])["params"]
-            params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
-            f = scalarize(lambda p, m: model.apply({"params": p}, m))
-            dt = timeit(f, params, mel)
-        finally:
-            hg.TransposedConv1d = orig
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1, :8])["params"]
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        f = scalarize(lambda p, m: model.apply({"params": p}, m))
+        dt = timeit(f, params, mel)
         print(json.dumps({
             "section": "hifigan", "variant": name, "ms": round(dt * 1e3, 2),
             "gflop": round(flops / 1e9, 1),
