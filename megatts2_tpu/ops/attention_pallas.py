@@ -14,10 +14,11 @@ path keeps its KV-cache scan (one-token attention is matmul-free-ish and
 latency-bound).
 
 ``flash_attention_vjp`` wraps the kernel in a ``jax.custom_vjp`` whose
-backward recomputes the probabilities with einsums in fp32 (classic
-recompute-in-bwd: the forward never materializes logits to HBM, the
-backward pays the standard attention math).  ``nn/transformer.py`` uses it
-when ``use_flash=True``.
+backward recomputes the probabilities BLOCKWISE over q (a ``lax.scan``):
+per step only a (B, H, BLOCK_Q, Tk) fp32 panel lives, dk/dv accumulate
+across steps — O(BLOCK_Q·Tk) memory instead of the O(Tq·Tk) a naive
+recompute (or XLA's default attention backward) materializes.
+``nn/transformer.py`` uses it when ``use_flash=True``.
 """
 from __future__ import annotations
 
@@ -123,11 +124,13 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, einsum-recompute backward.
+# Differentiable wrapper: Pallas forward, blockwise-recompute backward.
 # ---------------------------------------------------------------------------
 
 
-def _masked_probs(q, k, k_lens, causal):
+def _masked_probs(q, k, k_lens, causal, q_offset=0):
+    """Softmax probabilities for a q-block starting at ``q_offset``;
+    fp32 (B, H, Tq_block, Tk)."""
     Dh = q.shape[-1]
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
@@ -137,10 +140,11 @@ def _masked_probs(q, k, k_lens, causal):
     mask = kpos[None, :] < k_lens[:, None]  # (B, Tk)
     mask = mask[:, None, None, :]
     if causal:
-        tri = kpos[None, :] <= jnp.arange(Tq)[:, None]  # (Tq, Tk)
+        qpos = q_offset + jnp.arange(Tq)
+        tri = kpos[None, :] <= qpos[:, None]  # (Tq, Tk)
         mask = jnp.logical_and(mask, tri[None, None])
     logits = jnp.where(mask, logits, jnp.float32(-1e9))
-    return jax.nn.softmax(logits, axis=-1)  # (B, H, Tq, Tk) fp32
+    return jax.nn.softmax(logits, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -152,16 +156,45 @@ def _fa_fwd(q, k, v, k_lens, causal):
     return flash_attention(q, k, v, k_lens=k_lens, causal=causal), (q, k, v, k_lens)
 
 
-def _fa_bwd(causal, res, g):
+def _fa_bwd(causal, res, g, block_q: int = 256):
+    """Blockwise backward: scan over q-blocks, recomputing each probability
+    panel in VMEM-sized chunks; dk/dv accumulate in fp32.  Padded q rows
+    carry zero cotangents, so they contribute nothing."""
     q, k, v, k_lens = res
-    Dh = q.shape[-1]
-    p = _masked_probs(q, k, k_lens, causal)  # (B,H,Tq,Tk)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * (Dh**-0.5)
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * (Dh**-0.5)
+    B, Tq, H, Dh = q.shape
+    scale = Dh**-0.5
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+
+    bq = min(block_q, _round_up(Tq, 128))
+    Tq_p = _round_up(Tq, bq)
+    if Tq_p != Tq:
+        qp = jnp.pad(q, ((0, 0), (0, Tq_p - Tq), (0, 0), (0, 0)))
+        gp = jnp.pad(g, ((0, 0), (0, Tq_p - Tq), (0, 0), (0, 0)))
+    else:
+        qp, gp = q, g
+    n_blocks = Tq_p // bq
+    q_blocks = jnp.moveaxis(qp.reshape(B, n_blocks, bq, H, Dh), 1, 0)
+    g_blocks = jnp.moveaxis(gp.reshape(B, n_blocks, bq, H, Dh), 1, 0)
+
+    def step(carry, inp):
+        dk_acc, dv_acc = carry
+        i, qb, gb = inp
+        g32 = gb.astype(jnp.float32)
+        p = _masked_probs(qb, k, k_lens, causal, q_offset=i * bq)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_b = jnp.einsum("bhqk,bkhd->bqhd", ds, k32) * scale
+        dk_acc = dk_acc + jnp.einsum("bhqk,bqhd->bkhd", ds, qb.astype(jnp.float32)) * scale
+        return (dk_acc, dv_acc), dq_b
+
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dq_blocks = jax.lax.scan(
+        step, (zeros, zeros),
+        (jnp.arange(n_blocks), q_blocks, g_blocks),
+    )
+    dq = jnp.moveaxis(dq_blocks, 0, 1).reshape(B, Tq_p, H, Dh)[:, :Tq]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 

@@ -141,6 +141,34 @@ class TestFlashAttention:
                               interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_blockwise_backward_matches_einsum_grads(self, causal):
+        """The chunked ``_fa_bwd`` (scan over q-blocks, block_q < Tq so the
+        scan actually iterates) must equal the grads of a plain einsum
+        attention."""
+        from megatts2_tpu.ops import make_attn_mask
+        from megatts2_tpu.ops.attention_pallas import _fa_bwd
+
+        B, T, H, Dh = 2, 37, 4, 16
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        lens = jnp.asarray([20, 37], jnp.int32)
+        g = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+
+        def ref_attn(q, k, v):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (Dh**-0.5)
+            logits = logits + make_attn_mask(lens, T, causal=causal)
+            return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+
+        _, vjp = jax.vjp(ref_attn, q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
+        dq, dk, dv, _ = _fa_bwd(causal, (q, k, v, lens), g, block_q=16)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=3e-5)
+
     def test_padded_q_block(self):
         """Tq not a multiple of block_q → output still trimmed/correct."""
         from megatts2_tpu.ops import flash_attention
