@@ -87,14 +87,16 @@ def section_hifigan():
         }), flush=True)
 
 
-def section_attn():
+def section_attn(reps: int = 20):
+    """Flash vs einsum attention at PLM-layer shapes.  Sub-10ms kernels are
+    far below the ~75ms tunnel dispatch jitter, so each measurement runs
+    ``reps`` dependency-chained iterations inside ONE jitted scan."""
     from megatts2_tpu.nn.transformer import _attend
     from megatts2_tpu.ops.attention_pallas import flash_attention_vjp
     from megatts2_tpu.ops.masks import make_attn_mask
 
     H, Dh = 16, 64
-    d = H * Dh
-    for B, T in [(8, 512), (4, 1024), (2, 2048)]:
+    for B, T in [(8, 512), (4, 1024), (2, 2048), (1, 4096)]:
         rng = np.random.RandomState(1)
         q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32), jnp.bfloat16)
         k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32), jnp.bfloat16)
@@ -109,18 +111,29 @@ def section_attn():
         def flash_fwd(q, k, v, lens):
             return flash_attention_vjp(q, k, v, lens, True)
 
-        def train(fwd):
-            def loss(q, k, v, lens):
-                return jnp.sum(fwd(q, k, v, lens).astype(jnp.float32))
+        def rep_fwd(fwd):
+            def run(q, k, v, lens):
+                def body(qc, _):
+                    o = fwd(qc, k, v, lens)
+                    return qc + jnp.bfloat16(1e-3) * o, ()
+                qf, _ = jax.lax.scan(body, q, None, length=reps)
+                return jnp.sum(qf.astype(jnp.float32))
+            return jax.jit(run)
 
+        def rep_train(fwd):
+            def loss(q, k, v, lens):
+                def body(qc, _):
+                    o = fwd(qc, k, v, lens)
+                    return qc + jnp.bfloat16(1e-3) * o, jnp.sum(o.astype(jnp.float32))
+                _, ls = jax.lax.scan(body, q, None, length=reps)
+                return jnp.sum(ls)
             g = jax.grad(loss, argnums=(0, 1, 2))
             return scalarize(lambda q, k, v, lens: g(q, k, v, lens))
 
-        res = {"section": "attn", "B": B, "T": T}
+        res = {"section": "attn", "B": B, "T": T, "reps": reps}
         for name, fwd in (("einsum", einsum_fwd), ("flash", flash_fwd)):
-            jf = scalarize(fwd)
-            dt_f = timeit(jf, q, k, v, lens)
-            dt_t = timeit(train(fwd), q, k, v, lens)
+            dt_f = timeit(rep_fwd(fwd), q, k, v, lens, iters=3) / reps
+            dt_t = timeit(rep_train(fwd), q, k, v, lens, iters=3) / reps
             res[f"{name}_fwd_ms"] = round(dt_f * 1e3, 3)
             res[f"{name}_fwdbwd_ms"] = round(dt_t * 1e3, 3)
             res[f"{name}_fwd_mfu"] = round(flops_fwd / dt_f / PEAK_FLOPS["bf16"], 4)
