@@ -92,7 +92,11 @@ class MegaPLMConfig:
     tc_latent_dim: int = 512
     vq_bins: int = 1024
     dropout: float = 0.1
-    use_flash: bool = False  # Pallas fused attention on the training path
+    # Pallas fused attention on the training path.  Default ON for the PLM:
+    # its multi-utterance prompts reach 1-4k tokens, where flash measures
+    # 3.7-4.6x fwd / 2-2.3x train-step vs masked einsum on v5e
+    # (BENCHMARKS.md attention A/B); a wash at T<=512.
+    use_flash: bool = True
 
     @property
     def d_model(self) -> int:

@@ -26,6 +26,15 @@ import jax.numpy as jnp
 
 from ..ops.masks import NEG_INF, make_attn_mask
 
+# The flash path is a Pallas TPU kernel; on the CPU backend (tests, virtual
+# meshes) it falls back to the einsum path automatically.  Tests that want
+# the kernel under ``pltpu.force_tpu_interpret_mode()`` set this True.
+FLASH_ON_CPU = False
+
+
+def _flash_available() -> bool:
+    return FLASH_ON_CPU or jax.default_backend() != "cpu"
+
 
 def _attend(
     q: jnp.ndarray,  # (B, Tq, H, Dh)
@@ -182,7 +191,7 @@ class TransformerEncoder(nn.Module):
     ) -> jnp.ndarray:
         mask = None
         k_lens = None
-        flash = self.use_flash and not self.decode
+        flash = self.use_flash and not self.decode and _flash_available()
         if x_lens is not None and not self.decode:
             if flash:
                 k_lens = x_lens  # masks built in-kernel

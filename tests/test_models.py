@@ -380,7 +380,13 @@ class TestUseFlashConfig:
         variables = plm.init(KEY, tc, codes, lens)
         ref, _ = plm.apply(variables, tc, codes, lens)
 
+        from megatts2_tpu.nn import transformer as tr
+
         plm_f = MegaPLM(dataclasses.replace(TINY_PLM, use_flash=True))
-        with pltpu.force_tpu_interpret_mode():
-            got, _ = plm_f.apply(variables, tc, codes, lens)
+        tr.FLASH_ON_CPU = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got, _ = plm_f.apply(variables, tc, codes, lens)
+        finally:
+            tr.FLASH_ON_CPU = False
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

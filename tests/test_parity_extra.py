@@ -199,13 +199,19 @@ class TestFlashInEncoder:
         enc_ref = TransformerEncoder(dim=D, ff_dim=32, num_layers=2, n_heads=H)
         p = enc_ref.init(KEY, x, x_lens=lens, causal=True)["params"]
         ref = enc_ref.apply({"params": p}, x, x_lens=lens, causal=True)
+        from megatts2_tpu.nn import transformer as tr
+
         enc_fl = TransformerEncoder(dim=D, ff_dim=32, num_layers=2, n_heads=H,
                                     use_flash=True)
-        with pltpu.force_tpu_interpret_mode():
-            got = enc_fl.apply({"params": p}, x, x_lens=lens, causal=True)
-            g1 = jax.grad(
-                lambda p: enc_fl.apply({"params": p}, x, x_lens=lens, causal=True).sum()
-            )(p)
+        tr.FLASH_ON_CPU = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = enc_fl.apply({"params": p}, x, x_lens=lens, causal=True)
+                g1 = jax.grad(
+                    lambda p: enc_fl.apply({"params": p}, x, x_lens=lens, causal=True).sum()
+                )(p)
+        finally:
+            tr.FLASH_ON_CPU = False
         g2 = jax.grad(
             lambda p: enc_ref.apply({"params": p}, x, x_lens=lens, causal=True).sum()
         )(p)
