@@ -81,6 +81,7 @@ def adm_infer(
     cfg: MegaADMConfig,
     tc_latents: jnp.ndarray,  # (B, T, D)
     dtype: Any = jnp.float32,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """Greedy batched duration decode → (B, T) int32 in [1, 128]."""
     B, T, _ = tc_latents.shape
@@ -109,7 +110,10 @@ def adm_infer(
         return (cache, d), d
 
     if T > 1:
-        (_, _), rest = jax.lax.scan(step, (cache, d0), jnp.arange(1, T, dtype=jnp.int32))
+        (_, _), rest = jax.lax.scan(
+            step, (cache, d0), jnp.arange(1, T, dtype=jnp.int32),
+            unroll=min(unroll, max(T - 1, 1)),
+        )
         dts = jnp.concatenate([d0[None], rest], axis=0)  # (T, B)
     else:
         dts = d0[None]

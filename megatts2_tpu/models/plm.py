@@ -81,6 +81,7 @@ def plm_infer(
     cfg: MegaPLMConfig,
     tc_latent: jnp.ndarray,  # (B, T, D_tc), padded
     dtype: Any = jnp.float32,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """Greedy batched decode of prosody codes, (B, T) int32.
 
@@ -117,8 +118,11 @@ def plm_infer(
         return (cache, code), code
 
     if T > 1:
+        # unroll: pipelines the per-token weight streams across steps
+        # (each step's matmuls are small; measured on v5e in BENCHMARKS.md)
         (_, _), codes_rest = jax.lax.scan(
-            step, (cache, code0), jnp.arange(1, T, dtype=jnp.int32)
+            step, (cache, code0), jnp.arange(1, T, dtype=jnp.int32),
+            unroll=min(unroll, max(T - 1, 1)),
         )
         codes = jnp.concatenate([code0[None], codes_rest], axis=0)  # (T, B)
     else:

@@ -28,6 +28,15 @@ from collections import defaultdict
 import numpy as np
 
 
+def pick_bucket(n_phones: int, frames_per_phone: float, buckets: list) -> int:
+    """Smallest bucket covering the estimated frame budget (last = cap)."""
+    est = n_phones * frames_per_phone
+    for b in buckets:
+        if est <= b:
+            return b
+    return buckets[-1]
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="megatts2_tpu batch serving")
     p.add_argument("--requests", required=True, help="JSONL of {id, text, wavs_dir}")
@@ -82,17 +91,13 @@ def main(argv=None):
     if not buckets or buckets[-1] < args.max_frames:
         buckets.append(args.max_frames)
 
-    def frame_bucket(text: str) -> int:
-        est = len(tts.phone_ids(text)) * args.frames_per_phone
-        for b in buckets:
-            if est <= b:
-                return b
-        return buckets[-1]
-
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]
     by_group = defaultdict(list)  # (wavs_dir, frame bucket) -> requests
     for r in requests:
-        by_group[(r["wavs_dir"], frame_bucket(r["text"]))].append(r)
+        bucket = pick_bucket(
+            len(tts.phone_ids(r["text"])), args.frames_per_phone, buckets
+        )
+        by_group[(r["wavs_dir"], bucket)].append(r)
 
     t0 = time.time()
     done = 0

@@ -131,3 +131,15 @@ class TestInferCLI:
         assert os.path.exists(out)
         y = load_wav(out)
         assert y.shape[0] > 4000 and np.isfinite(y).all()
+
+
+class TestServeBucketing:
+    def test_pick_bucket(self):
+        from megatts2_tpu.serve import pick_bucket
+
+        buckets = [256, 512, 1024, 2048]
+        assert pick_bucket(10, 16.0, buckets) == 256
+        assert pick_bucket(16, 16.0, buckets) == 256
+        assert pick_bucket(17, 16.0, buckets) == 512
+        assert pick_bucket(64, 16.0, buckets) == 1024
+        assert pick_bucket(1000, 16.0, buckets) == 2048  # capped at the max

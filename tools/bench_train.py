@@ -56,6 +56,9 @@ def main():
     float(m["G_loss_total"])
     dt = (time.perf_counter() - t0) / iters
 
+    from megatts2_tpu.utils.flops import PEAK_FLOPS, gan_step_flops
+
+    fl = gan_step_flops(g_cfg, B, Tp, Tm, Tt)
     print(
         json.dumps(
             {
@@ -66,6 +69,8 @@ def main():
                     "batch": B,
                     "mel_frames_per_sec": round(B * Tm / dt, 1),
                     "step_ms": round(dt * 1000, 2),
+                    "gflop_per_step": round(fl / 1e9, 1),
+                    "mfu": round(fl / dt / PEAK_FLOPS["bf16"], 4),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -140,6 +140,49 @@ def section_attn(reps: int = 20):
         print(json.dumps(res), flush=True)
 
 
+def section_ar(reps: int = 5):
+    """AR decode stage timings at bench geometry (B=8, 64 steps), with
+    scan-unroll A/B.  Rep-chained inside one jit (see section_attn)."""
+    from megatts2_tpu.models import MegaADM, MegaPLM
+    from megatts2_tpu.models.adm import adm_infer
+    from megatts2_tpu.models.plm import plm_infer
+
+    B, T = 8, 64
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)
+    key = jax.random.PRNGKey(0)
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+    plm_params = cast(jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+    )["params"])
+    adm_params = cast(jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+    )["params"])
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.randn(B, T, 512).astype(np.float32))
+
+    unrolls = [int(u) for u in (sys.argv[2:] or [1, 4])]
+    for name, infer, params, cfg in (
+        ("plm_infer", plm_infer, plm_params, plm_cfg),
+        ("adm_infer", adm_infer, adm_params, adm_cfg),
+    ):
+        for unroll in unrolls:
+            # params ride as a jit ARGUMENT (closed-over params bake into
+            # the HLO as constants → HTTP 413 on the remote compiler)
+            def run(p, tc_in, u=unroll, infer=infer, cfg=cfg):
+                def body(c, _):
+                    out = infer(p, cfg, c, dtype=jnp.bfloat16, unroll=u)
+                    return c + 1e-6 * jnp.sum(out).astype(c.dtype), ()
+                cf, _ = jax.lax.scan(body, tc_in, None, length=reps)
+                return jnp.sum(cf.astype(jnp.float32))
+
+            dt = timeit(jax.jit(run), params, tc, iters=3) / reps
+            print(json.dumps({
+                "section": "ar", "stage": name, "B": B, "steps": T,
+                "unroll": unroll, "ms": round(dt * 1e3, 2),
+            }), flush=True)
+
+
 def section_cascade():
     from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
     from megatts2_tpu.models.megatts import synthesize
