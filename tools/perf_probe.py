@@ -241,6 +241,8 @@ def section_cascade():
 
 
 if __name__ == "__main__":
-    sections = sys.argv[1:] or ["hifigan", "attn", "cascade"]
+    sections = [s for s in sys.argv[1:] if not s.isdigit()] or [
+        "hifigan", "attn", "cascade"
+    ]
     for s in sections:
         globals()[f"section_{s}"]()
