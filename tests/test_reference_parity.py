@@ -318,6 +318,35 @@ class TestLMLiteralParity:
         np.testing.assert_array_equal(ours, ref_dur)
 
 
+class TestLengthRegulatorLiteralParity:
+    def test_matches_reference_alignment(self, ref):
+        """Our vectorized gather vs the literal reference LengthRegulator
+        (numpy triple loop + alignment matmul, mrte.py:23-60), including the
+        truncation/padding behavior at a fixed output length."""
+        from megatts2_tpu.ops import regulate_length
+
+        lr = ref.mrte.LengthRegulator(256, 16000, 16.0)
+        rng = np.random.RandomState(5)
+        B, Tp, D = 3, 6, 4
+        x = rng.randn(B, Tp, D).astype(np.float32)
+        dur = rng.randint(0, 5, (B, Tp)).astype(np.int32)
+        with torch.no_grad():
+            ref_out = lr(torch.from_numpy(x), torch.from_numpy(dur)).numpy()
+        T_ref = ref_out.shape[1]  # max over batch of sum(dur)
+        ours = np.asarray(regulate_length(jnp.asarray(x), jnp.asarray(dur), T_ref))
+        np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+
+        # mel_max_length pad path (reference pads with zeros)
+        with torch.no_grad():
+            ref_pad = lr(
+                torch.from_numpy(x), torch.from_numpy(dur), mel_max_length=T_ref + 5
+            ).numpy()
+        ours_pad = np.asarray(
+            regulate_length(jnp.asarray(x), jnp.asarray(dur), T_ref + 5)
+        )
+        np.testing.assert_allclose(ours_pad, ref_pad, atol=1e-6)
+
+
 class TestDiscriminatorLiteralParity:
     def test_forward_matches_reference(self, ref):
         """Literal reference Discriminator (modules/dscrm.py:113-140) vs ours
