@@ -37,7 +37,9 @@ def build_corpus(root: str, n_per_spk: int = 24, seed: int = 0) -> tuple:
         os.makedirs(os.path.join(wavs, spk), exist_ok=True)
         os.makedirs(os.path.join(tgs, spk), exist_ok=True)
         for i in range(n_per_spk):
-            dur_s = float(rng.uniform(2.5, 4.0))
+            # constant duration → ONE batch shape → one jit compile (variable
+            # shapes would each pay minutes on the remote compiler)
+            dur_s = 3.2
             n = int(dur_s * sr)
             t = np.arange(n) / sr
             f0 = 110 * (spk_i + 1) * (1 + 0.3 * rng.rand())
