@@ -70,3 +70,29 @@ class TestCompileCacheGating:
         assert jax.default_backend() == "cpu"  # conftest forces cpu
         enable_compilation_cache()
         assert not os.path.exists(str(tmp_path / "cc"))  # no-op on cpu
+
+
+class TestConfigUnknownKeyWarning:
+    def test_typo_knob_warns(self):
+        import warnings
+
+        from megatts2_tpu.config import MegaPLMConfig, _build
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cfg = _build(
+                MegaPLMConfig,
+                {"init_args": {"n_layer": 3, "n_heads": 2}},  # typo: n_layer
+            )
+        assert cfg.n_heads == 2 and cfg.n_layers == 12  # default kept
+        assert any("n_layer" in str(x.message) for x in w), [str(x.message) for x in w]
+
+    def test_exact_keys_silent(self):
+        import warnings
+
+        from megatts2_tpu.config import MegaADMConfig, _build
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _build(MegaADMConfig, {"init_args": {"n_layers": 2, "n_heads": 2}})
+        assert not w, [str(x.message) for x in w]
