@@ -140,7 +140,17 @@ class GANBatchBuilder:
             timbres.append(mel)
             tlens.append(mel.shape[0])
         tmin = min(tlens)
-        tmin = max(tmin - tmin % PHONE_PAD_MULTIPLE, PHONE_PAD_MULTIPLE)
+        # Round DOWN to a power of two (min 128): the reference already crops
+        # timbre mels to the batch min, and a free-running tmin would give
+        # every batch a distinct shape — one full jit compile per STEP on a
+        # remote-compile target.  Pow2 buckets cap the shape set at ~5.
+        if tmin >= 128:
+            bucket = 128
+            while bucket * 2 <= tmin:
+                bucket *= 2
+            tmin = min(bucket, self.max_timbre_frames)
+        else:  # tiny corpora: round down to the phone multiple as before
+            tmin = max(tmin - tmin % PHONE_PAD_MULTIPLE, PHONE_PAD_MULTIPLE)
         mel_timbres = np.stack([m[:tmin] for m in timbres]).astype(np.float32)
 
         return {
