@@ -183,11 +183,31 @@ def section_ar(reps: int = 5):
             }), flush=True)
 
 
-def section_cascade():
+def section_buckets():
+    """Cascade wall time per frame-bucket (the serve.py grouping): evidence
+    for length-bucketed serving vs one worst-case budget."""
+    times = {}
+    for mf in (128, 256, 512):
+        times[mf] = _time_cascade(max_frames=mf)
+        print(json.dumps({
+            "section": "buckets", "max_frames": mf,
+            "ms": round(times[mf] * 1e3, 1),
+        }), flush=True)
+    # mixed traffic: 60% short (<=128 fr), 30% medium (<=256), 10% long
+    mix = 0.6 * times[128] + 0.3 * times[256] + 0.1 * times[512]
+    print(json.dumps({
+        "section": "buckets", "workload": "60/30/10 short/med/long, B=8",
+        "bucketed_ms_per_batch": round(mix * 1e3, 1),
+        "single_bucket512_ms": round(times[512] * 1e3, 1),
+        "speedup": round(times[512] / mix, 2),
+    }), flush=True)
+
+
+def _time_cascade(max_frames: int = 512):
     from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
     from megatts2_tpu.models.megatts import synthesize
 
-    B, Tp, Tm, max_frames = 8, 64, 512, 512
+    B, Tp, Tm = 8, 64, 512
     g_cfg = MegaGConfig()
     plm_cfg = MegaPLMConfig()
     adm_cfg = MegaADMConfig(tc_emb_dim=512)
@@ -230,8 +250,16 @@ def section_cascade():
     t0 = time.perf_counter()
     for _ in range(iters):
         run()
-    dt = (time.perf_counter() - t0) / iters
-    fl = synthesis_flops(g_cfg, plm_cfg, adm_cfg, hifi_cfg, B, Tp, Tm, max_frames)
+    return (time.perf_counter() - t0) / iters
+
+
+def section_cascade():
+    B, Tp, Tm, max_frames = 8, 64, 512, 512
+    dt = _time_cascade(max_frames)
+    fl = synthesis_flops(
+        MegaGConfig(), MegaPLMConfig(), MegaADMConfig(tc_emb_dim=512),
+        HiFiGANConfig(), B, Tp, Tm, max_frames,
+    )
     print(json.dumps({
         "section": "cascade", "B": B, "ms": round(dt * 1e3, 1),
         "gflop_total": round(fl["total"] / 1e9, 1),
