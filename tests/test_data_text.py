@@ -144,6 +144,18 @@ class TestBatchBuilders:
         tl = batch["mel_target_lens"][0]
         assert np.abs(batch["mel_targets"][0, tl:]).sum() == 0
 
+    def test_gan_timbre_length_is_pow2_bucketed(self, tmp_path):
+        """Timbre length must come from a small static set (pow2 ≥128) so
+        training does not recompile per batch (jit shape-cache)."""
+        m, ds = _make_ds(tmp_path, n_cuts=12, n_spk=2, frames=300)
+        seen = set()
+        for seed in range(6):
+            b = GANBatchBuilder(m, ds, seed=seed)
+            t = b([0, 1, 2])["mel_timbres"].shape[1]
+            assert t >= 128 and (t & (t - 1)) == 0, t  # power of two
+            seen.add(t)
+        assert seen <= {128, 256, 512, 1024, 2048}
+
     def test_plm_batch(self, tmp_path):
         m, ds = _make_ds(tmp_path)
         b = PLMBatchBuilder(m, ds, n_same_spk_samples=2, vq_bins=32, seed=0)
