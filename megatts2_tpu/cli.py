@@ -22,6 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--config", "-c", required=True)
     p.add_argument("--stage", choices=["gan", "plm", "adm"], default=None)
     p.add_argument("--ckpt_path", default=None, help="resume from orbax checkpoint")
+    p.add_argument("--init_from_torch", default=None,
+                   help="reference Lightning .ckpt to initialize model weights"
+                        " (G+D for gan, plm/adm otherwise; optimizer fresh)")
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--trace_dir", default=None, help="jax.profiler trace output")
@@ -125,6 +128,10 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, g_tx, d_tx = create_gan_state(rng, g_cfg, d_cfg, tcfg, example)
+        if args.init_from_torch:
+            from .training.convert import init_gan_state_from_torch
+
+            state = init_gan_state_from_torch(state, args.init_from_torch, g_cfg, d_cfg)
         state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
         eval_fn = make_gan_eval_step(g_cfg)
@@ -162,6 +169,10 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, tx = create_plm_state(rng, cfg, tcfg, example)
+        if args.init_from_torch:
+            from .training.convert import init_lm_state_from_torch
+
+            state = init_lm_state_from_torch(state, args.init_from_torch, cfg, "plm")
         state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn, eval_fn = make_plm_train_step(cfg, tcfg, tx)
         run_training(
@@ -187,6 +198,10 @@ def main(argv=None):
         )
         example = next(iter(train_f(0)))
         state, tx = create_adm_state(rng, cfg, tcfg, example)
+        if args.init_from_torch:
+            from .training.convert import init_lm_state_from_torch
+
+            state = init_lm_state_from_torch(state, args.init_from_torch, cfg, "adm")
         state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
         step_fn, eval_fn = make_adm_train_step(cfg, tcfg, tx)
         run_training(

@@ -260,6 +260,29 @@ def convert_discriminator(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def init_gan_state_from_torch(state, ckpt: str, g_cfg, d_cfg):
+    """Replace a fresh GANTrainState's model weights with a reference GAN
+    Lightning checkpoint (G. + D. prefixes) — optimizer state and step stay
+    fresh.  Used by ``cli.py fit --init_from_torch``."""
+    g_vars = convert_megag(load_torch_state_dict(ckpt, prefix="G."), g_cfg)
+    d_vars = convert_discriminator(load_torch_state_dict(ckpt, prefix="D."), d_cfg)
+    return state.replace(
+        g_params=g_vars["params"],
+        vq_stats=g_vars["vq_stats"],
+        d_params=d_vars["params"],
+        batch_stats=d_vars["batch_stats"],
+    )
+
+
+def init_lm_state_from_torch(state, ckpt: str, cfg, stage: str):
+    """PLM/ADM counterpart of ``init_gan_state_from_torch``."""
+    if stage == "plm":
+        params = convert_plm(load_torch_state_dict(ckpt, prefix="plm."), cfg)
+    else:
+        params = convert_adm(load_torch_state_dict(ckpt, prefix="adm."), cfg)
+    return state.replace(params=params)
+
+
 def _fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Fold torch weight_norm (weight_g / weight_v) pairs into plain
     weights (HiFi-GAN checkpoints ship weight-normalized)."""

@@ -390,6 +390,57 @@ class TestDiscriminatorLiteralParity:
         np.testing.assert_allclose(np.asarray(out["y"]), ref_y, atol=5e-5)
 
 
+class TestInitFromTorchCkpt:
+    def test_gan_training_initializes_from_reference_ckpt(self, ref, tmp_path):
+        """`cli.py fit --init_from_torch` path: a combined G.+D. Lightning
+        checkpoint seeds a fresh GAN train state (converted weights, fresh
+        optimizer) and one train step runs finite."""
+        import importlib
+
+        from megatts2_tpu.config import DiscriminatorConfig, TrainConfig
+        from megatts2_tpu.training import create_gan_state, make_gan_train_step
+        from megatts2_tpu.training.convert import init_gan_state_from_torch
+
+        dscrm = importlib.import_module("modules.dscrm")
+        g = _build_ref_g(ref)
+        rd = dscrm.Discriminator(time_lengths=[8, 16], freq_length=8, hidden_size=8)
+        sd = {f"G.{k}": v for k, v in g.state_dict().items()}
+        sd.update({f"D.{k}": v for k, v in rd.state_dict().items()})
+        ckpt = tmp_path / "gan.ckpt"
+        torch.save({"state_dict": sd}, str(ckpt))
+
+        g_cfg = _our_g_cfg()
+        d_cfg = DiscriminatorConfig(time_lengths=(8, 16), freq_length=8, hidden_size=8)
+        tcfg = TrainConfig(max_steps=10, warmup_steps=1, train_dtype="float32")
+        rng = np.random.RandomState(1)
+        B, Tp, Tm = 2, 5, 32
+        batch = {
+            "duration_tokens": np.array([[7, 7, 6, 6, 6], [5, 9, 4, 8, 6]], np.int32),
+            "phone_tokens": rng.randint(0, 11, (B, Tp)).astype(np.int32),
+            "tokens_lens": np.full((B,), Tp, np.int32),
+            "mel_timbres": rng.randn(B, 33, 8).astype(np.float32),
+            "mel_targets": rng.randn(B, Tm, 8).astype(np.float32),
+            "mel_target_lens": np.full((B,), Tm, np.int32),
+        }
+        state, g_tx, d_tx = create_gan_state(
+            jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg, batch
+        )
+        state = init_gan_state_from_torch(state, str(ckpt), g_cfg, d_cfg)
+        # weights really came from the reference ckpt
+        ref_emb = g.mrte.phone_embedding.word_embeddings.weight.detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(
+                state.g_params["mrte"]["phone_embedding"]["word_embeddings"]["embedding"]
+            ),
+            ref_emb,
+        )
+        step = jax.jit(make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx))
+        new_state, metrics = step(state, batch)
+        assert int(new_state.step) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+
+
 class TestVQEMALiteralParity:
     def test_train_step_matches_reference_core_vq(self, ref):
         """One EMA training step of the literal EnCodec VectorQuantization
