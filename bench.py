@@ -63,12 +63,16 @@ def main():
     )
     hifi_vars = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))
 
-    # bf16 param storage: the AR decodes are weight-HBM-bound
+    # bf16 param storage: the AR decodes are weight-HBM-bound.  The PLM
+    # goes one further — int8 weight-only kernels (production serving mode,
+    # 53→33 ms standalone; BENCHMARKS.md "Int8 weight-only decode").
+    from megatts2_tpu.quantization.weight_only import quantize_tree
+
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
     g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
-    plm_vars = {"params": cast(plm_vars["params"])}
+    plm_vars = {"params": quantize_tree(plm_vars["params"])}
     adm_vars = {"params": cast(adm_vars["params"])}
     hifi_vars = {"params": cast(hifi_vars["params"])}
 
@@ -83,6 +87,7 @@ def main():
             plm_vars["params"], adm_vars["params"], hifi_vars["params"],
             g_cfg, plm_cfg, adm_cfg, hifi_cfg,
             phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+            quant=True,
         )
         jax.block_until_ready(wav)
         # force completion via a tiny host transfer — block_until_ready alone
@@ -128,6 +133,7 @@ def main():
                     "rtf_generated_raw": round(dt / max(gen_audio_s / B, 1e-9), 5),
                     "gflop_per_batch": round(fl["total"] / 1e9, 1),
                     "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
+                    "plm_quant_int8": True,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -27,6 +27,7 @@ class MegaADM(nn.Module):
     dtype: Any = jnp.float32
     decode: bool = False
     max_decode_len: int = 0
+    quant: bool = False  # int8 weight-only Dense kernels (serving decode)
 
     def setup(self):
         c = self.cfg
@@ -40,11 +41,18 @@ class MegaADM(nn.Module):
             dtype=self.dtype,
             decode=self.decode,
             use_flash=c.use_flash,
+            quant=self.quant,
         )
-        self.dt_linear_emb = nn.Dense(c.emb_dim, use_bias=False, dtype=self.dtype)
-        self.tc_linear_emb = nn.Dense(c.tc_emb_dim, use_bias=False, dtype=self.dtype)
+        if self.quant:
+            from ..quantization.weight_only import QDense
+
+            dense = lambda f: QDense(f, use_bias=False, dtype=self.dtype)
+        else:
+            dense = lambda f: nn.Dense(f, use_bias=False, dtype=self.dtype)
+        self.dt_linear_emb = dense(c.emb_dim)
+        self.tc_linear_emb = dense(c.tc_emb_dim)
         self.pos_emb = SinePositionalEmbedding(c.d_model, dtype=self.dtype)
-        self.predict_layer = nn.Dense(1, use_bias=False, dtype=self.dtype)
+        self.predict_layer = dense(1)
 
     def __call__(
         self,
@@ -82,10 +90,14 @@ def adm_infer(
     tc_latents: jnp.ndarray,  # (B, T, D)
     dtype: Any = jnp.float32,
     unroll: int = 4,
+    quant: bool = False,
 ) -> jnp.ndarray:
-    """Greedy batched duration decode → (B, T) int32 in [1, 128]."""
+    """Greedy batched duration decode → (B, T) int32 in [1, 128].
+
+    ``quant=True`` expects int8 weight-only params from
+    ``quantization.weight_only.quantize_tree`` (see plm.py docstring)."""
     B, T, _ = tc_latents.shape
-    model = MegaADM(cfg, dtype=dtype, decode=True, max_decode_len=T)
+    model = MegaADM(cfg, dtype=dtype, decode=True, max_decode_len=T, quant=quant)
 
     d0, cache = model.apply(
         {"params": params},

@@ -47,7 +47,9 @@ def max_pool_time(x: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g_cfg", "plm_cfg", "adm_cfg", "hifi_cfg", "max_frames", "dtype"),
+    static_argnames=(
+        "g_cfg", "plm_cfg", "adm_cfg", "hifi_cfg", "max_frames", "dtype", "quant",
+    ),
 )
 def synthesize(
     g_vars: dict,
@@ -63,6 +65,7 @@ def synthesize(
     mels_prompt: jnp.ndarray,  # (B, Tm, 80)
     max_frames: int,  # static output frame budget
     dtype: Any = jnp.bfloat16,
+    quant: bool = False,  # plm/adm params are int8 weight-only trees
 ):
     """Batched zero-shot synthesis.  Returns (wav (B, max_frames*hop),
     n_frames (B,)) — callers trim with n_frames*hop."""
@@ -78,6 +81,9 @@ def synthesize(
     )  # (B, Tp, H)
 
     # 2. AR duration decode (KV-cached scan)
+    # quant applies to the PLM only: the ADM (d_model 512, 8 layers) is
+    # latency- not weight-bound — int8 measured SLOWER there (8.1 vs 6.5 ms,
+    # BENCHMARKS.md "Int8 weight-only decode")
     dt = adm_infer(adm_params, adm_cfg, tc_latent.astype(jnp.float32), dtype=dtype)
     # zero out predictions beyond the true phone length
     pos = jnp.arange(dt.shape[1])[None, :]
@@ -89,7 +95,9 @@ def synthesize(
 
     # 4. 8x max-pool to prosody-code rate, AR prosody decode
     tc_plm = max_pool_time(tc_expand, 8)  # (B, Tf/8, H)
-    p_codes = plm_infer(plm_params, plm_cfg, tc_plm.astype(jnp.float32), dtype=dtype)
+    p_codes = plm_infer(
+        plm_params, plm_cfg, tc_plm.astype(jnp.float32), dtype=dtype, quant=quant
+    )
 
     # 5. VQ decode, ×8 upsample, mel decode
     zq = g.apply(
@@ -129,7 +137,16 @@ class Megatts:
         max_frames: int = 2048,
         dtype: Any = jnp.bfloat16,
         cast_params: bool = True,
+        quant_int8: bool = False,
     ):
+        if quant_int8:
+            # int8 weight-only PLM decode (1.6x the PLM scan: weight-HBM
+            # traffic halves; deliberate serving deviation — the reference
+            # decodes full precision).  ADM stays bf16 (int8 measured
+            # slower at its size).  Quantize from the original fp32 params.
+            from ..quantization.weight_only import quantize_tree
+
+            plm_params = quantize_tree(plm_params)
         if cast_params and dtype == jnp.bfloat16:
             # the AR decodes are weight-HBM-bound: storing params in bf16
             # halves per-step weight traffic (compute runs bf16 regardless)
@@ -139,7 +156,10 @@ class Megatts:
                 else x,
                 t,
             )
-            plm_params = cast(plm_params)
+            if not quant_int8:
+                # a quantized PLM tree keeps fp32 scales/biases (tiny; the
+                # int8 kernels already carry the traffic win)
+                plm_params = cast(plm_params)
             adm_params = cast(adm_params)
             hifi_params = cast(hifi_params)
             g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
@@ -155,6 +175,7 @@ class Megatts:
         self.token2idx = {s: i for i, s in enumerate(st.symbols)}
         self.max_frames = max_frames
         self.dtype = dtype
+        self.quant_int8 = quant_int8
 
     def phone_ids(self, text: str) -> np.ndarray:
         """G2P → symbol ids.  Separator tokens ('_'/'-') that are not in the
@@ -207,6 +228,7 @@ class Megatts:
             self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
             self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
             *args, max_frames=max_frames or self.max_frames, dtype=self.dtype,
+            quant=self.quant_int8,
         )
         wav = np.asarray(wav)
         n = np.asarray(n_frames)
@@ -230,7 +252,7 @@ class Megatts:
             self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
             self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
             jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mel_prompt),
-            max_frames=self.max_frames, dtype=self.dtype,
+            max_frames=self.max_frames, dtype=self.dtype, quant=self.quant_int8,
         )
         n = int(n_frames[0]) * HIFIGAN_HOP_LENGTH
         gen = np.asarray(wav[0])[:n]

@@ -29,6 +29,7 @@ class MegaPLM(nn.Module):
     dtype: Any = jnp.float32
     decode: bool = False
     max_decode_len: int = 0
+    quant: bool = False  # int8 weight-only Dense kernels (serving decode)
 
     def setup(self):
         c = self.cfg
@@ -42,8 +43,14 @@ class MegaPLM(nn.Module):
             dtype=self.dtype,
             decode=self.decode,
             use_flash=c.use_flash,
+            quant=self.quant,
         )
-        self.predict_layer = nn.Dense(c.vq_bins, use_bias=False, dtype=self.dtype)
+        if self.quant:
+            from ..quantization.weight_only import QDense
+
+            self.predict_layer = QDense(c.vq_bins, use_bias=False, dtype=self.dtype)
+        else:
+            self.predict_layer = nn.Dense(c.vq_bins, use_bias=False, dtype=self.dtype)
         self.pos = SinePositionalEmbedding(c.d_model, dtype=self.dtype)
         self.pc_embedding = nn.Embed(c.vq_bins + 2, c.vq_dim, dtype=self.dtype)
 
@@ -82,14 +89,18 @@ def plm_infer(
     tc_latent: jnp.ndarray,  # (B, T, D_tc), padded
     dtype: Any = jnp.float32,
     unroll: int = 4,
+    quant: bool = False,
 ) -> jnp.ndarray:
     """Greedy batched decode of prosody codes, (B, T) int32.
 
     Matches reference ``MegaPLM.infer`` numerics (greedy argmax over the
-    same logits) but runs as a scan with a KV cache.
+    same logits) but runs as a scan with a KV cache.  With ``quant=True``
+    ``params`` must be the int8 layout from
+    ``quantization.weight_only.quantize_tree`` (≈2× decode: weight-HBM
+    traffic halves, see BENCHMARKS.md).
     """
     B, T, _ = tc_latent.shape
-    model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=T)
+    model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=T, quant=quant)
     bos = jnp.full((B,), cfg.bos_id, jnp.int32)
 
     # Step 0 outside the scan initializes the cache collection.

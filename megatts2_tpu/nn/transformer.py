@@ -58,6 +58,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
     decode: bool = False  # enable the KV-cache single-token path
     use_flash: bool = False  # Pallas fused attention on the self-attn path
+    quant: bool = False  # int8 weight-only Dense kernels (serving decode)
 
     @nn.compact
     def __call__(
@@ -72,7 +73,12 @@ class MultiHeadAttention(nn.Module):
     ) -> jnp.ndarray:
         assert self.qkv_dim % self.n_heads == 0
         head_dim = self.qkv_dim // self.n_heads
-        dense = lambda name: nn.Dense(self.qkv_dim, use_bias=True, dtype=self.dtype, name=name)
+        if self.quant:
+            from ..quantization.weight_only import QDense
+
+            dense = lambda name: QDense(self.qkv_dim, use_bias=True, dtype=self.dtype, name=name)
+        else:
+            dense = lambda name: nn.Dense(self.qkv_dim, use_bias=True, dtype=self.dtype, name=name)
         src = q if kv is None else kv
         qh = dense("w_q")(q)
         kh = dense("w_k")(src)
@@ -109,7 +115,7 @@ class MultiHeadAttention(nn.Module):
             att = _attend(qh, kh, vh, mask)
 
         att = att.reshape(B, Tq, self.qkv_dim)
-        out = nn.Dense(self.qkv_dim, use_bias=True, dtype=self.dtype, name="out_proj")(att)
+        out = dense("out_proj")(att)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
@@ -122,6 +128,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     decode: bool = False
     use_flash: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -136,7 +143,8 @@ class TransformerEncoderLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = x + MultiHeadAttention(
             self.dim, self.n_heads, self.dropout, dtype=self.dtype,
-            decode=self.decode, use_flash=self.use_flash, name="attn",
+            decode=self.decode, use_flash=self.use_flash, quant=self.quant,
+            name="attn",
         )(
             ln("norm1")(x), mask=mask, deterministic=deterministic,
             max_decode_len=max_decode_len, k_lens=k_lens, causal=causal,
@@ -150,11 +158,17 @@ class TransformerEncoderLayer(nn.Module):
             y = nn.Conv(self.dim, (5,), padding=[(2, 2)], dtype=self.dtype, name="ff_conv2")(y)
             x = h + y
         else:
+            if self.quant:
+                from ..quantization.weight_only import QDense
+
+                ff = lambda f, name: QDense(f, dtype=self.dtype, name=name)
+            else:
+                ff = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
             h = ln("norm2")(x)
-            y = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff_linear1")(h)
+            y = ff(self.ff_dim, "ff_linear1")(h)
             y = nn.relu(y)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-            y = nn.Dense(self.dim, dtype=self.dtype, name="ff_linear2")(y)
+            y = ff(self.dim, "ff_linear2")(y)
             x = x + y
         return x
 
@@ -179,6 +193,7 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = True
     remat: bool = False  # rematerialize layer activations (memory ↓, FLOPs ↑)
     use_flash: bool = False  # Pallas fused attention (self-attn, non-decode)
+    quant: bool = False  # int8 weight-only Dense kernels (serving decode)
 
     @nn.compact
     def __call__(
@@ -214,6 +229,7 @@ class TransformerEncoder(nn.Module):
             dtype=self.dtype,
             decode=self.decode,
             use_flash=flash,
+            quant=self.quant,
         )
         if self.scan_layers:
             def body(layer: TransformerEncoderLayer, carry: jnp.ndarray):

