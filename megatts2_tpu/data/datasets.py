@@ -175,6 +175,34 @@ class LatentReader:
         return np.load(path, allow_pickle=True).item()
 
 
+def prompt_features(
+    manifest, ds_path: str, cut_ids: List[str], max_tokens: int = 2048
+):
+    """In-context prosody prompt for inference (plm_infer prompt_tc /
+    prompt_codes): concatenate the stage-2 features of the given cuts —
+    tc_latent length-regulated to frame rate and ×8-pooled to code rate,
+    paired with the VQPE codes — exactly how PLMBatchBuilder builds the
+    training prompt prefix.  Returns (tc (1, P, D) fp32, codes (1, P) i32),
+    tail-truncated to ``max_tokens``.
+    """
+    reader = LatentReader(ds_path)
+    by_id = {c.id: c for c in manifest}
+    tcs, ps = [], []
+    for cid in cut_ids:
+        cut = by_id[cid]
+        lat = reader.read(cut)
+        tc = np.asarray(lat["tc_latent"][0], np.float32)
+        tc = expand_by_durations(tc, np.asarray(cut.duration_tokens, np.int64))
+        tc = max_pool_1d_ceil(tc, 8)
+        p = np.asarray(lat["p_code"]).reshape(-1)
+        assert tc.shape[0] == p.shape[0], (tc.shape, p.shape)
+        tcs.append(tc)
+        ps.append(p)
+    tc = np.concatenate(tcs)[-max_tokens:]
+    p = np.concatenate(ps)[-max_tokens:]
+    return tc[None].astype(np.float32), p[None].astype(np.int32)
+
+
 class PLMBatchBuilder:
     def __init__(
         self,

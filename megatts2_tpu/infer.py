@@ -32,6 +32,13 @@ def parse_args(argv=None):
     p.add_argument("--pinyin_dict", default=None)
     p.add_argument("--max_frames", type=int, default=2048)
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="int8 weight-only PLM decode (see PARITY.md)")
+    p.add_argument("--plm_temperature", type=float, default=0.0,
+                   help=">0: sample prosody codes instead of greedy argmax")
+    p.add_argument("--plm_top_k", type=int, default=0,
+                   help="truncate sampling to the k most likely codes")
+    p.add_argument("--seed", type=int, default=0, help="sampling seed")
     return p.parse_args(argv)
 
 
@@ -98,6 +105,8 @@ def main(argv=None):
         g_cfg=g_cfg, plm_cfg=plm_cfg, adm_cfg=adm_cfg, hifi_cfg=hifi_cfg,
         pinyin_dict_path=args.pinyin_dict, max_frames=args.max_frames,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        quant_int8=args.quant_int8, plm_temperature=args.plm_temperature,
+        plm_top_k=args.plm_top_k, seed=args.seed,
     )
     wav = tts(args.wavs_dir, args.text, out_path=args.out)
     print(f"wrote {args.out}: {wav.shape[0] / 16000:.2f}s")

@@ -49,6 +49,7 @@ def max_pool_time(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "g_cfg", "plm_cfg", "adm_cfg", "hifi_cfg", "max_frames", "dtype", "quant",
+        "plm_temperature", "plm_top_k",
     ),
 )
 def synthesize(
@@ -65,7 +66,12 @@ def synthesize(
     mels_prompt: jnp.ndarray,  # (B, Tm, 80)
     max_frames: int,  # static output frame budget
     dtype: Any = jnp.bfloat16,
-    quant: bool = False,  # plm/adm params are int8 weight-only trees
+    quant: bool = False,  # plm params are an int8 weight-only tree
+    plm_temperature: float = 0.0,  # >0: sample prosody codes
+    plm_top_k: int = 0,
+    rng: Optional[jnp.ndarray] = None,  # PRNGKey when sampling
+    plm_prompt_tc: Optional[jnp.ndarray] = None,  # (B, P, D) in-context
+    plm_prompt_codes: Optional[jnp.ndarray] = None,  # (B, P) prosody prompt
 ):
     """Batched zero-shot synthesis.  Returns (wav (B, max_frames*hop),
     n_frames (B,)) — callers trim with n_frames*hop."""
@@ -96,7 +102,9 @@ def synthesize(
     # 4. 8x max-pool to prosody-code rate, AR prosody decode
     tc_plm = max_pool_time(tc_expand, 8)  # (B, Tf/8, H)
     p_codes = plm_infer(
-        plm_params, plm_cfg, tc_plm.astype(jnp.float32), dtype=dtype, quant=quant
+        plm_params, plm_cfg, tc_plm.astype(jnp.float32), dtype=dtype, quant=quant,
+        temperature=plm_temperature, top_k=plm_top_k, rng=rng,
+        prompt_tc=plm_prompt_tc, prompt_codes=plm_prompt_codes,
     )
 
     # 5. VQ decode, ×8 upsample, mel decode
@@ -138,6 +146,9 @@ class Megatts:
         dtype: Any = jnp.bfloat16,
         cast_params: bool = True,
         quant_int8: bool = False,
+        plm_temperature: float = 0.0,  # >0: sample prosody codes (top_k)
+        plm_top_k: int = 0,
+        seed: int = 0,
     ):
         if quant_int8:
             # int8 weight-only PLM decode (1.6x the PLM scan: weight-HBM
@@ -176,6 +187,9 @@ class Megatts:
         self.max_frames = max_frames
         self.dtype = dtype
         self.quant_int8 = quant_int8
+        self.plm_temperature = float(plm_temperature)
+        self.plm_top_k = int(plm_top_k)
+        self._rng = jax.random.PRNGKey(seed)
 
     def phone_ids(self, text: str) -> np.ndarray:
         """G2P → symbol ids.  Separator tokens ('_'/'-') that are not in the
@@ -195,6 +209,7 @@ class Megatts:
         mels_prompt: np.ndarray,  # (B, Tm, 80) — per-utterance prompt mels
         mesh=None,
         max_frames: Optional[int] = None,
+        prompt_features: Optional[tuple] = None,  # (prompt_tc (B,P,D), prompt_codes (B,P))
     ) -> list:
         """Production batched synthesis: pads phone sequences to a bucket,
         runs the full jitted cascade once for the whole batch — optionally
@@ -204,7 +219,10 @@ class Megatts:
         callers can length-bucket the static frame budget (serve.py groups
         mixed-length traffic into a small set of buckets — the AR scans and
         the vocoder then cost proportional to the bucket, not the global
-        worst case)."""
+        worst case).  ``prompt_features`` optionally supplies an in-context
+        prosody prompt for the PLM — stage-2-style features (tc_latent at
+        code rate, VQPE codes) of same-speaker utterances, shared across
+        the batch (see plm_infer)."""
         from ..data.sampler import round_up
 
         ids = [self.phone_ids(t) for t in texts]
@@ -224,11 +242,21 @@ class Megatts:
             )
             args = [sharded["phone"], sharded["lens"], sharded["mels"]]
 
+        prompt_kw = {}
+        if prompt_features is not None:
+            ptc, pcodes = prompt_features
+            prompt_kw = dict(
+                plm_prompt_tc=jnp.asarray(ptc), plm_prompt_codes=jnp.asarray(pcodes)
+            )
+        rng = None
+        if self.plm_temperature > 0:
+            self._rng, rng = jax.random.split(self._rng)
         wav, _, n_frames = synthesize(
             self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
             self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
             *args, max_frames=max_frames or self.max_frames, dtype=self.dtype,
-            quant=self.quant_int8,
+            quant=self.quant_int8, plm_temperature=self.plm_temperature,
+            plm_top_k=self.plm_top_k, rng=rng, **prompt_kw,
         )
         wav = np.asarray(wav)
         n = np.asarray(n_frames)
@@ -248,11 +276,16 @@ class Megatts:
         ids = self.phone_ids(text)[None]  # (1, Tp)
         lens = np.array([ids.shape[1]], np.int32)
 
+        rng = None
+        if self.plm_temperature > 0:
+            self._rng, rng = jax.random.split(self._rng)
         wav, _, n_frames = synthesize(
             self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
             self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
             jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mel_prompt),
             max_frames=self.max_frames, dtype=self.dtype, quant=self.quant_int8,
+            plm_temperature=self.plm_temperature, plm_top_k=self.plm_top_k,
+            rng=rng,
         )
         n = int(n_frames[0]) * HIFIGAN_HOP_LENGTH
         gen = np.asarray(wav[0])[:n]

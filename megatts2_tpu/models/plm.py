@@ -82,6 +82,23 @@ class MegaPLM(nn.Module):
         x = self.plm(x, max_decode_len=self.max_decode_len)
         return self.predict_layer(x)[:, 0].astype(jnp.float32)
 
+    def prefill(
+        self,
+        tc: jnp.ndarray,  # (B, P, D_tc) prompt content latents (code rate)
+        prev_codes: jnp.ndarray,  # (B, P) int32: BOS ++ prompt_codes[:-1]
+    ) -> jnp.ndarray:
+        """Write a P-token prompt prefix into the KV cache in ONE pass
+        (block-causal decode mask) — the in-context prosody conditioning
+        the PLM is trained with (PLMBatchBuilder's same-speaker prompt
+        prefix, data/datasets.py) but absent from the reference's infer
+        (``models/megatts2.py:165-181`` starts from BOS only).  Returns
+        the logits after the last prompt token (usually discarded)."""
+        pc_emb = self.pc_embedding(prev_codes)
+        x = jnp.concatenate([tc.astype(self.dtype), pc_emb], axis=-1)
+        x = self.pos(x)  # prompt occupies absolute positions [0, P)
+        x = self.plm(x, max_decode_len=self.max_decode_len)
+        return self.predict_layer(x)[:, -1].astype(jnp.float32)
+
 
 def plm_infer(
     params,
@@ -90,29 +107,80 @@ def plm_infer(
     dtype: Any = jnp.float32,
     unroll: int = 4,
     quant: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    rng: jnp.ndarray | None = None,
+    prompt_tc: jnp.ndarray | None = None,  # (B, P, D_tc), code rate
+    prompt_codes: jnp.ndarray | None = None,  # (B, P) int32
 ) -> jnp.ndarray:
-    """Greedy batched decode of prosody codes, (B, T) int32.
+    """Batched decode of prosody codes, (B, T) int32.
 
-    Matches reference ``MegaPLM.infer`` numerics (greedy argmax over the
-    same logits) but runs as a scan with a KV cache.  With ``quant=True``
-    ``params`` must be the int8 layout from
-    ``quantization.weight_only.quantize_tree`` (≈2× decode: weight-HBM
-    traffic halves, see BENCHMARKS.md).
+    Defaults match reference ``MegaPLM.infer`` numerics (greedy argmax over
+    the same logits) but run as a scan with a KV cache.  Extensions beyond
+    the reference (each OFF by default):
+
+    * ``quant=True`` — ``params`` is the int8 layout from
+      ``quantization.weight_only.quantize_tree`` (≈1.6× decode: weight-HBM
+      traffic halves, see BENCHMARKS.md).
+    * ``temperature > 0`` — sample from softmax(logits/temperature),
+      optionally truncated to the ``top_k`` most likely codes; requires
+      ``rng``.  Greedy prosody is often flat — sampling matches how the
+      MegaTTS2 paper's P-LLM is used.
+    * ``prompt_tc``/``prompt_codes`` — in-context prosody prompt: a
+      same-speaker prefix (stage-2 features: tc_latent at code rate +
+      VQPE codes) prefilled into the KV cache in one pass, exactly the
+      conditioning the PLM sees in training (PLMBatchBuilder).  The prompt
+      must share one static length P across the batch (serve.py groups
+      requests by prompt, so this holds in production).
     """
     B, T, _ = tc_latent.shape
-    model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=T, quant=quant)
+    P = 0 if prompt_tc is None else prompt_tc.shape[1]
+    if temperature > 0 and rng is None:
+        raise ValueError("sampling (temperature > 0) requires rng")
+    model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=P + T, quant=quant)
     bos = jnp.full((B,), cfg.bos_id, jnp.int32)
 
-    # Step 0 outside the scan initializes the cache collection.
-    logits0, cache = model.apply(
-        {"params": params},
-        tc_latent[:, 0:1],
-        bos,
-        jnp.asarray(0, jnp.int32),
-        method=MegaPLM.decode_step,
-        mutable=["cache"],
-    )
-    code0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    def pick(logits: jnp.ndarray, t) -> jnp.ndarray:
+        if temperature > 0:
+            lg = logits / temperature
+            if top_k and top_k < cfg.vq_bins:
+                kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+                lg = jnp.where(lg < kth, jnp.float32(-1e9), lg)
+            return jax.random.categorical(jax.random.fold_in(rng, t), lg).astype(
+                jnp.int32
+            )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if P > 0:
+        # one-pass prompt prefill (block-causal cache write)
+        prev_prompt = jnp.concatenate([bos[:, None], prompt_codes[:, :-1]], axis=1)
+        _, cache = model.apply(
+            {"params": params},
+            prompt_tc,
+            prev_prompt,
+            method=MegaPLM.prefill,
+            mutable=["cache"],
+        )
+        prev0 = prompt_codes[:, -1]
+        logits0, cache = model.apply(
+            {"params": params, **cache},
+            tc_latent[:, 0:1],
+            prev0,
+            jnp.asarray(P, jnp.int32),
+            method=MegaPLM.decode_step,
+            mutable=["cache"],
+        )
+    else:
+        # Step 0 outside the scan initializes the cache collection.
+        logits0, cache = model.apply(
+            {"params": params},
+            tc_latent[:, 0:1],
+            bos,
+            jnp.asarray(0, jnp.int32),
+            method=MegaPLM.decode_step,
+            mutable=["cache"],
+        )
+    code0 = pick(logits0, 0)
 
     def step(carry, t):
         cache, prev = carry
@@ -121,11 +189,11 @@ def plm_infer(
             {"params": params, **cache},
             tc_t,
             prev,
-            t,
+            t + P,  # absolute position (prompt occupies [0, P))
             method=MegaPLM.decode_step,
             mutable=["cache"],
         )
-        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        code = pick(logits, t)
         return (cache, code), code
 
     if T > 1:

@@ -102,9 +102,15 @@ class MultiHeadAttention(nn.Module):
             cache_k.value = jax.lax.dynamic_update_slice(cache_k.value, kh, (0, idx, 0, 0))
             cache_v.value = jax.lax.dynamic_update_slice(cache_v.value, vh, (0, idx, 0, 0))
             cache_idx.value = idx + Tq
+            # block-causal: query i (absolute position idx+i) sees cache
+            # positions <= idx+i — Tq=1 is the AR step, Tq>1 is a prompt
+            # prefill writing the whole prefix in one call
             pos = jnp.arange(max_decode_len)
+            q_pos = idx + jnp.arange(Tq)
             dec_mask = jnp.where(
-                pos[None, None, None, :] <= idx, jnp.float32(0.0), jnp.float32(NEG_INF)
+                pos[None, None, None, :] <= q_pos[None, None, :, None],
+                jnp.float32(0.0),
+                jnp.float32(NEG_INF),
             )
             att = _attend(qh, cache_k.value, cache_v.value, dec_mask)
         elif self.use_flash and kv is None and k_lens is not None:

@@ -60,9 +60,13 @@ def parse_args(argv=None):
     p.add_argument("--symbol_table", default="data/ds/unique_text_tokens.k2symbols")
     p.add_argument("--pinyin_dict", default=None)
     p.add_argument("--quant_int8", action="store_true",
-                   help="int8 weight-only PLM/ADM decode (~2x AR weight "
-                        "traffic; tiny logit perturbation — serving-only "
-                        "deviation, see PARITY.md)")
+                   help="int8 weight-only PLM decode (1.6x the AR scan; "
+                        "tiny logit perturbation — serving-only deviation, "
+                        "see PARITY.md)")
+    p.add_argument("--plm_temperature", type=float, default=0.0,
+                   help=">0: sample prosody codes instead of greedy argmax")
+    p.add_argument("--plm_top_k", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -87,6 +91,8 @@ def main(argv=None):
         args.adm_ckpt, args.adm_config, args.symbol_table,
         hifigan_ckpt=args.hifigan_ckpt, pinyin_dict_path=args.pinyin_dict,
         max_frames=args.max_frames, quant_int8=args.quant_int8,
+        plm_temperature=args.plm_temperature, plm_top_k=args.plm_top_k,
+        seed=args.seed,
     )
     mesh = make_mesh(n_model=args.n_model)
     os.makedirs(args.out_dir, exist_ok=True)
