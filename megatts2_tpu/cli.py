@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--trace_dir", default=None, help="jax.profiler trace output")
     p.add_argument("--n_model", type=int, default=1, help="tensor-parallel axis size")
+    p.add_argument("--zero_opt", action="store_true",
+                   help="ZeRO-1: shard optimizer moments of replicated "
+                        "params over the data axis (memory ↓ at scale)")
     p.add_argument("--hifigan_ckpt", default=None,
                    help="torch HiFi-GAN ckpt for vocoded validation audio")
     return p.parse_args(argv)
@@ -45,18 +48,21 @@ def infer_stage(config_path: str) -> str:
 
 
 
-def _maybe_restore(state, ckpt_path, ckpt_dir, mesh):
-    """Restore the latest (or given) checkpoint and re-place it replicated on
-    the mesh — orbax restores arrays committed to a single device, which
-    would clash with mesh-sharded batches."""
-    from .parallel import replicated_like
+def _maybe_restore(state, ckpt_path, ckpt_dir, mesh, zero=False):
+    """Restore the latest (or given) checkpoint, then place the state on
+    the mesh: params TP-sharded per parallel/sharding.py rules, optimizer
+    moments following their params (``--zero_opt``: ZeRO-1 over the data
+    axis), rest replicated.  Placement is also required with no checkpoint
+    — create_*_state commits to one device, which would clash with
+    mesh-sharded batches (and without TP placement ``--n_model`` would
+    silently train pure-DP)."""
+    from .parallel import place_train_state
     from .training.checkpoints import latest_checkpoint, restore_checkpoint
 
     path = ckpt_path or latest_checkpoint(ckpt_dir)
-    if not path:
-        return state
-    state = restore_checkpoint(path, state)
-    return jax.device_put(state, replicated_like(state, mesh))
+    if path:
+        state = restore_checkpoint(path, state)
+    return place_train_state(state, mesh, zero=zero)
 
 
 def _data_cfg(config_path: str) -> dict:
@@ -132,7 +138,7 @@ def main(argv=None):
             from .training.convert import init_gan_state_from_torch
 
             state = init_gan_state_from_torch(state, args.init_from_torch, g_cfg, d_cfg)
-        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh, zero=args.zero_opt)
         step_fn = make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx)
         eval_fn = make_gan_eval_step(g_cfg)
         from .training.gan_trainer import make_gan_val_artifacts
@@ -173,7 +179,7 @@ def main(argv=None):
             from .training.convert import init_lm_state_from_torch
 
             state = init_lm_state_from_torch(state, args.init_from_torch, cfg, "plm")
-        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh, zero=args.zero_opt)
         step_fn, eval_fn = make_plm_train_step(cfg, tcfg, tx)
         run_training(
             "plm", state, step_fn, train_f, tcfg.max_steps,
@@ -202,7 +208,7 @@ def main(argv=None):
             from .training.convert import init_lm_state_from_torch
 
             state = init_lm_state_from_torch(state, args.init_from_torch, cfg, "adm")
-        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh, zero=args.zero_opt)
         step_fn, eval_fn = make_adm_train_step(cfg, tcfg, tx)
         run_training(
             "adm", state, step_fn, train_f, tcfg.max_steps,

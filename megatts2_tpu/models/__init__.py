@@ -5,6 +5,7 @@ from .megag import MegaG
 from .megatts import Megatts, synthesize
 from .mrte import MRTE
 from .plm import MegaPLM, plm_infer
+from .streaming import stream_synthesize
 from .vqpe import VQProsodyEncoder
 from .pretrained import (adm_from_pretrained, hifigan_from_pretrained,
                          megag_from_pretrained, megatts_from_pretrained,

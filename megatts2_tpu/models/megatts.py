@@ -262,6 +262,39 @@ class Megatts:
         n = np.asarray(n_frames)
         return [wav[b, : int(n[b]) * HIFIGAN_HOP_LENGTH] for b in range(B)]
 
+    def stream(
+        self,
+        wavs_dir: str,
+        text: str,
+        chunk_frames: int = 256,
+        max_frames: Optional[int] = None,
+    ):
+        """Streaming synthesis: yields waveform chunks (np.float32,
+        ``chunk_frames``×hop samples) as soon as the prosody codes they
+        depend on are decoded — time-to-first-audio instead of
+        whole-utterance latency.  Concatenated chunks equal the one-shot
+        ``synthesize`` output (RF-exact windows, models/streaming.py)."""
+        from .streaming import stream_synthesize
+
+        wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
+        mels = [
+            np.asarray(mel_spectrogram(jnp.asarray(peak_normalize(load_wav(w, HIFIGAN_SR)))))
+            for w in wavs
+        ]
+        mel_prompt = np.concatenate(mels, axis=0)[None]
+        ids = self.phone_ids(text)[None]
+        rng = None
+        if self.plm_temperature > 0:
+            self._rng, rng = jax.random.split(self._rng)
+        yield from stream_synthesize(
+            self.g_vars, self.plm_params, self.adm_params, self.hifi_params,
+            self.g_cfg, self.plm_cfg, self.adm_cfg, self.hifi_cfg,
+            ids, np.array([ids.shape[1]], np.int32), mel_prompt,
+            max_frames=max_frames or self.max_frames, chunk_frames=chunk_frames,
+            dtype=self.dtype, quant=self.quant_int8,
+            temperature=self.plm_temperature, top_k=self.plm_top_k, rng=rng,
+        )
+
     def __call__(self, wavs_dir: str, text: str, out_path: str = "test.wav") -> np.ndarray:
         wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
         mels = []

@@ -1,3 +1,4 @@
 from .mesh import (DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh,
                    maybe_initialize_distributed, replicated, shard_batch)
-from .sharding import param_shardings, replicated_like
+from .sharding import (opt_shardings, param_shardings, place_train_state,
+                       replicated_like)

@@ -65,3 +65,94 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 def replicated_like(tree: Any, mesh: Mesh) -> Any:
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda _: rep, tree)
+
+
+def opt_shardings(opt_state: Any, params: Any, mesh: Mesh, zero: bool = False) -> Any:
+    """Shardings for an optax state: moments (params-shaped sub-trees, e.g.
+    Adam mu/nu) get the SAME placement as their params — TP-sharded where
+    the param is, so optimizer memory scales with the model axis instead of
+    being replicated.  With ``zero=True``, moments of *replicated* params
+    are additionally sharded over the data axis on their largest divisible
+    dim (ZeRO-1 style; GSPMD inserts the gathers in the update).  Scalars
+    (step counts, schedules) stay replicated."""
+    from .mesh import DATA_AXIS
+
+    p_struct = jax.tree_util.tree_structure(params)
+    p_shards = param_shardings(params, mesh)
+    rep = NamedSharding(mesh, P())
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+
+    def zero_shard(spec_tree):
+        if not zero or n_data == 1:
+            return spec_tree
+
+        def widen(param_leaf, sh):
+            if sh.spec != P():  # already TP-sharded: leave it
+                return sh
+            shape = param_leaf.shape
+            for ax in sorted(
+                range(len(shape)), key=lambda a: -shape[a]
+            ):  # largest dim first
+                if shape[ax] % n_data == 0 and shape[ax] >= n_data:
+                    spec = [None] * len(shape)
+                    spec[ax] = DATA_AXIS
+                    return NamedSharding(mesh, P(*spec))
+            return sh
+
+        return jax.tree_util.tree_map(widen, params, spec_tree)
+
+    moment_shards = zero_shard(p_shards)
+
+    def rec(node):
+        try:
+            if jax.tree_util.tree_structure(node) == p_struct:
+                return moment_shards
+        except Exception:
+            pass
+        if isinstance(node, tuple):
+            mapped = [rec(c) for c in node]
+            return type(node)(*mapped) if hasattr(node, "_fields") else tuple(mapped)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        return jax.tree_util.tree_map(lambda _: rep, node)
+
+    return rec(opt_state)
+
+
+def place_train_state(state: Any, mesh: Mesh, zero: bool = False) -> Any:
+    """Place a full train state on the mesh: params TP-sharded per the
+    rules above, optimizer moments following their params (optionally
+    ZeRO-1 over data), everything else replicated.  Handles both the GAN
+    state (g_/d_ params+opt, vq_stats, batch_stats) and the LM states
+    (params, opt).  No-op placement-wise at mesh (1,1); always commits the
+    arrays to the mesh's devices (required after orbax restore, which pins
+    to one device)."""
+    updates = {}
+    if hasattr(state, "params"):
+        sh = param_shardings(state.params, mesh)
+        updates["params"] = jax.device_put(state.params, sh)
+        updates["opt"] = jax.device_put(
+            state.opt, opt_shardings(state.opt, state.params, mesh, zero=zero)
+        )
+    if hasattr(state, "g_params"):
+        g_sh = param_shardings(state.g_params, mesh)
+        d_sh = param_shardings(state.d_params, mesh)
+        updates["g_params"] = jax.device_put(state.g_params, g_sh)
+        updates["d_params"] = jax.device_put(state.d_params, d_sh)
+        updates["g_opt"] = jax.device_put(
+            state.g_opt, opt_shardings(state.g_opt, state.g_params, mesh, zero=zero)
+        )
+        updates["d_opt"] = jax.device_put(
+            state.d_opt, opt_shardings(state.d_opt, state.d_params, mesh, zero=zero)
+        )
+        updates["vq_stats"] = jax.device_put(
+            state.vq_stats, replicated_like(state.vq_stats, mesh)
+        )
+        updates["batch_stats"] = jax.device_put(
+            state.batch_stats, replicated_like(state.batch_stats, mesh)
+        )
+    rep = NamedSharding(mesh, P())
+    for name in ("step", "rng"):
+        if hasattr(state, name):
+            updates[name] = jax.device_put(getattr(state, name), rep)
+    return state.replace(**updates)

@@ -293,3 +293,29 @@ class TestGANShardedEquivalence:
             jax.tree_util.tree_leaves(sh_new.g_params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+        # place_train_state with ZeRO-1 opt sharding: same step outputs,
+        # and the Adam moments are actually sharded (not replicated)
+        from megatts2_tpu.parallel import place_train_state
+
+        with mesh:
+            z_state = place_train_state(state, mesh, zero=True)
+            z_new, z_metrics = jax.jit(step)(z_state, sb)
+        for k in ref_metrics:
+            np.testing.assert_allclose(
+                float(np.asarray(ref_metrics[k])), float(np.asarray(z_metrics[k])),
+                rtol=2e-4, atol=1e-5, err_msg=k,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.g_params),
+            jax.tree_util.tree_leaves(z_new.g_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        from jax.sharding import PartitionSpec as P
+
+        sharded_moments = [
+            l
+            for l in jax.tree_util.tree_leaves(z_state.g_opt)
+            if hasattr(l, "sharding") and l.sharding.spec != P()
+        ]
+        assert sharded_moments, "ZeRO-1 sharded no optimizer moments"

@@ -225,6 +225,84 @@ def section_int8(reps: int = 5):
             }), flush=True)
 
 
+def section_stream():
+    """Streaming synthesis: time-to-first-audio vs one-shot latency for a
+    long utterance (B=1, 2048-frame budget ≈ 33 s of audio)."""
+    from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+    from megatts2_tpu.models.megatts import synthesize
+    from megatts2_tpu.models.streaming import stream_synthesize
+    from megatts2_tpu.quantization.weight_only import quantize_tree
+
+    Tp, Tm, max_frames, F = 256, 512, 2048, 256
+    g_cfg = MegaGConfig()
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)
+    hifi_cfg = HiFiGANConfig()
+    key = jax.random.PRNGKey(0)
+    g_vars = jax.jit(MegaG(g_cfg).init)(
+        {"params": key, "vq": key},
+        jnp.ones((1, Tp), jnp.int32), jnp.zeros((1, Tp), jnp.int32),
+        jnp.asarray([Tp]), jnp.zeros((1, 128, 80)), jnp.zeros((1, 128, 80)),
+    )
+    plm_params = quantize_tree(jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+    )["params"])
+    adm_params = jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+    )["params"]
+    hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
+    adm_params, hifi_params = cast(adm_params), cast(hifi_params)
+
+    rng = np.random.RandomState(0)
+    phones = rng.randint(1, 320, (1, Tp)).astype(np.int32)
+    lens = np.full((1,), Tp, np.int32)
+    mels = rng.randn(1, Tm, 80).astype(np.float32)
+
+    def stream_once():
+        t0 = time.perf_counter()
+        ttfa = None
+        n = 0
+        for chunk in stream_synthesize(
+            g_vars, plm_params, adm_params, hifi_params,
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+            phones, lens, mels, max_frames=max_frames, chunk_frames=F,
+            dtype=jnp.bfloat16, quant=True,
+        ):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+            n += chunk.shape[0]
+        return ttfa, time.perf_counter() - t0, n
+
+    stream_once()  # compile
+    ttfa, total_stream, n = stream_once()
+
+    def full_once():
+        t0 = time.perf_counter()
+        wav, _, nf = synthesize(
+            g_vars, plm_params, adm_params, hifi_params,
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+            jnp.asarray(phones), jnp.asarray(lens), jnp.asarray(mels),
+            max_frames=max_frames, dtype=jnp.bfloat16, quant=True,
+        )
+        np.asarray(wav[:, -1])
+        return time.perf_counter() - t0
+
+    full_once()
+    t_full = min(full_once() for _ in range(3))
+    print(json.dumps({
+        "section": "stream", "B": 1, "max_frames": max_frames,
+        "chunk_frames": F, "ttfa_ms": round(ttfa * 1e3, 1),
+        "stream_total_ms": round(total_stream * 1e3, 1),
+        "full_latency_ms": round(t_full * 1e3, 1),
+        "audio_samples": n,
+        "ttfa_speedup_vs_full": round(t_full / ttfa, 2),
+    }), flush=True)
+
+
 def section_buckets():
     """Cascade wall time per frame-bucket (the serve.py grouping): evidence
     for length-bucketed serving vs one worst-case budget."""
