@@ -1,0 +1,346 @@
+"""Continuous-batching synthesis engine.
+
+No reference counterpart (the reference is a single-utterance script,
+``models/megatts2.py:326-375``); this is the serving pattern LLM engines
+use (iteration-level scheduling), adapted to the TTS cascade and TPU
+static shapes:
+
+* ``S`` fixed slots share one per-slot-position KV cache
+  (``MegaPLM(per_slot=True)`` — every batch row sits at its own decode
+  position, scattered cache writes, per-row causal masks).
+* A request is admitted into a free slot at any chunk boundary: its
+  content path (MRTE → ADM → length-regulate, ``stream_prep``) runs once,
+  then the slot's cache/codes are reset in place.
+* ``tick`` advances ALL slots ``F/8`` prosody codes in one dispatch
+  (per-token host loops would pay the tunnel round trip per token);
+  finished slots freeze their code buffer (cache junk is irrelevant —
+  emits read codes, and the slot is reset at the next admission).
+* ``emit_slots`` produces one F-frame audio chunk per slot per tick with
+  the same RF-exact windows as models/streaming.py, batched over slots.
+
+Per-request output is bit-equal to the one-shot ``synthesize`` at the
+engine's frame budget (tests/test_continuous.py), so continuous batching
+is purely a throughput/latency scheduling change, not a quality change.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import HIFIGAN_HOP_LENGTH
+from .config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig
+from .models.hifigan import HiFiGAN
+from .models.megag import MegaG
+from .models.plm import MegaPLM
+from .models.streaming import (
+    _roundup,
+    decoder_rf_frames,
+    hifigan_rf_frames,
+    stream_prep,
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plm_cfg", "S", "Tc", "dtype", "quant")
+)
+def engine_init(plm_params, plm_cfg, S: int, Tc: int, dtype, quant: bool):
+    """Allocate the per-slot KV cache (zeros) by tracing one decode step."""
+    model = MegaPLM(
+        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc, quant=quant,
+        per_slot=True,
+    )
+    D = plm_cfg.tc_latent_dim
+    _, cache = model.apply(
+        {"params": plm_params},
+        jnp.zeros((S, 1, D), jnp.float32),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((S,), jnp.int32),
+        method=MegaPLM.decode_step,
+        mutable=["cache"],
+    )
+    return jax.tree_util.tree_map(jnp.zeros_like, cache)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def admit_slot(
+    carry: dict,
+    slot: jnp.ndarray,  # scalar int32
+    tc_plm1: jnp.ndarray,  # (1, Tc, D)
+    tc_expand1: jnp.ndarray,  # (1, Tf, H)
+    total_codes1: jnp.ndarray,  # scalar int32
+    bos: jnp.ndarray,  # scalar int32
+):
+    """Reset slot state in place and install the new request's content."""
+    z = lambda l: jax.lax.dynamic_update_index_in_dim(
+        l, jnp.zeros_like(l[:, 0]), slot, axis=1
+    )
+    cache = jax.tree_util.tree_map(z, carry["cache"])
+    return dict(
+        carry,
+        cache=cache,
+        tc_plm=jax.lax.dynamic_update_slice(
+            carry["tc_plm"], tc_plm1.astype(carry["tc_plm"].dtype), (slot, 0, 0)
+        ),
+        tc_expand=jax.lax.dynamic_update_slice(
+            carry["tc_expand"],
+            tc_expand1.astype(carry["tc_expand"].dtype),
+            (slot, 0, 0),
+        ),
+        codes=jax.lax.dynamic_update_index_in_dim(
+            carry["codes"], jnp.zeros_like(carry["codes"][0]), slot, axis=0
+        ),
+        prev=carry["prev"].at[slot].set(bos.astype(jnp.int32)),
+        pos=carry["pos"].at[slot].set(0),
+        total=carry["total"].at[slot].set(total_codes1.astype(jnp.int32)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plm_cfg", "K", "Tc", "dtype", "quant"),
+    donate_argnums=(1,),
+)
+def engine_tick(
+    plm_params,
+    carry: dict,
+    plm_cfg: MegaPLMConfig,
+    K: int,
+    Tc: int,
+    dtype,
+    quant: bool,
+):
+    """Advance every live slot K prosody codes (greedy).  Done slots
+    freeze their code buffer; their cache keeps absorbing junk writes at
+    the clamped last position, which nothing reads."""
+    model = MegaPLM(
+        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc, quant=quant,
+        per_slot=True,
+    )
+
+    def step(st, _):
+        cache, prev, pos, codes = st
+        p = jnp.minimum(pos, Tc - 1)
+        tc_t = jax.vmap(
+            lambda tc, i: jax.lax.dynamic_slice_in_dim(tc, i, 1, axis=0)
+        )(carry["tc_plm"], p)  # (S, 1, D)
+        logits, cache = model.apply(
+            {"params": plm_params, **cache},
+            tc_t,
+            prev,
+            p,
+            method=MegaPLM.decode_step,
+            mutable=["cache"],
+        )
+        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        live = pos < carry["total"]
+        old = jax.vmap(lambda c, i: c[i])(codes, p)
+        write = jnp.where(live, code, old)
+        codes = jax.vmap(
+            lambda c, x, i: jax.lax.dynamic_update_index_in_dim(c, x, i, axis=0)
+        )(codes, write, p)
+        prev = jnp.where(live, code, prev)
+        pos = jnp.where(live, pos + 1, pos)
+        return (cache, prev, pos, codes), ()
+
+    (cache, prev, pos, codes), _ = jax.lax.scan(
+        step,
+        (carry["cache"], carry["prev"], carry["pos"], carry["codes"]),
+        None,
+        length=K,
+        unroll=4,
+    )
+    return dict(carry, cache=cache, prev=prev, pos=pos, codes=codes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g_cfg", "hifi_cfg", "F", "rv", "rd", "dtype"),
+)
+def emit_slots(
+    g_vars: dict,
+    hifi_params: dict,
+    g_cfg: MegaGConfig,
+    hifi_cfg: HiFiGANConfig,
+    carry: dict,
+    a_vec: jnp.ndarray,  # (S,) per-slot frame starts (multiples of F)
+    F: int,
+    rv: int,
+    rd: int,
+    dtype,
+):
+    """One F-frame audio chunk per slot, frames [a_s, a_s+F) — the batched
+    twin of streaming.emit_chunk (slots without a ready chunk pass a junk
+    ``a`` and the host discards the row)."""
+    Tmax = carry["tc_expand"].shape[1]
+    W = F + 2 * (rv + rd)
+    s_vec = jnp.clip(a_vec - rv - rd, 0, Tmax - W)
+    tc_win = jax.vmap(
+        lambda tc, s: jax.lax.dynamic_slice_in_dim(tc, s, W, axis=0)
+    )(carry["tc_expand"], s_vec)  # (S, W, H)
+    codes_win = jax.vmap(
+        lambda c, s: jax.lax.dynamic_slice_in_dim(c, s // 8, W // 8, axis=0)
+    )(carry["codes"], s_vec)  # (S, W/8)
+
+    g = MegaG(g_cfg, dtype=dtype)
+    zq = g.apply(g_vars, codes_win[None], method=lambda m, c: m.vqpe.vq.decode(c))
+    zq = jnp.repeat(zq, 8, axis=1)
+    mel_win = g.apply(
+        g_vars, tc_win, zq, method=lambda m, x, z: m.decode_latents(x, z)
+    )  # (S, W, 80)
+
+    mv = jnp.clip(a_vec - rv, s_vec, s_vec + W - (F + 2 * rv))
+    mel_v = jax.vmap(
+        lambda m, o: jax.lax.dynamic_slice_in_dim(m, o, F + 2 * rv, axis=0)
+    )(mel_win, mv - s_vec)
+    wav = HiFiGAN(hifi_cfg, dtype=dtype).apply(
+        {"params": hifi_params}, mel_v.astype(jnp.float32)
+    )  # (S, (F+2rv)*hop)
+    off = (a_vec - mv) * HIFIGAN_HOP_LENGTH
+    return jax.vmap(
+        lambda w, o: jax.lax.dynamic_slice_in_dim(w, o, F * HIFIGAN_HOP_LENGTH, axis=0)
+    )(wav, off).astype(jnp.float32)
+
+
+class ContinuousEngine:
+    """Host-side scheduler over the jitted engine graphs.
+
+    >>> eng = ContinuousEngine(g_vars, plm_params, adm_params, hifi_params,
+    ...                        g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+    ...                        slots=4, max_frames=1024)
+    >>> for req_id, wav in eng.run(requests):  # requests: iterable of dicts
+    ...     ...
+
+    A request is ``{"id": ..., "phone": (1,Tp) int32, "lens": (1,),
+    "mels_prompt": (1,Tm,80)}``.  ``run`` yields ``(id, full_wav)`` in
+    completion order.  One tick = one PLM advance + one batched emit =
+    two dispatches for up to ``slots`` concurrent requests.
+    """
+
+    def __init__(
+        self,
+        g_vars, plm_params, adm_params, hifi_params,
+        g_cfg: MegaGConfig = MegaGConfig(),
+        plm_cfg: MegaPLMConfig = MegaPLMConfig(),
+        adm_cfg: MegaADMConfig = MegaADMConfig(),
+        hifi_cfg: HiFiGANConfig = HiFiGANConfig(),
+        slots: int = 8,
+        max_frames: int = 2048,
+        chunk_frames: int = 256,
+        dtype: Any = jnp.bfloat16,
+        quant: bool = False,
+    ):
+        self.params = (g_vars, plm_params, adm_params, hifi_params)
+        self.cfgs = (g_cfg, plm_cfg, adm_cfg, hifi_cfg)
+        self.S = slots
+        self.F = _roundup(chunk_frames, 8)
+        self.rv = _roundup(hifigan_rf_frames(hifi_cfg), 8)
+        self.rd = _roundup(decoder_rf_frames(g_cfg), 8)
+        self.Tmax = max(
+            _roundup(max_frames, self.F), self.F + 2 * (self.rv + self.rd)
+        )
+        self.Tc = self.Tmax // 8
+        self.dtype = dtype
+        self.quant = quant
+        D = plm_cfg.tc_latent_dim
+        H = g_cfg.mrte.hidden_size
+        self.carry = dict(
+            cache=engine_init(plm_params, plm_cfg, slots, self.Tc, dtype, quant),
+            tc_plm=jnp.zeros((slots, self.Tc, D), jnp.float32),
+            tc_expand=jnp.zeros((slots, self.Tmax, H), jnp.float32),
+            codes=jnp.zeros((slots, self.Tc), jnp.int32),
+            prev=jnp.full((slots,), plm_cfg.bos_id, jnp.int32),
+            pos=jnp.zeros((slots,), jnp.int32),
+            total=jnp.zeros((slots,), jnp.int32),
+        )
+        # host-side slot table
+        self.slot_req: List[Optional[dict]] = [None] * slots
+        self.slot_emitted: List[int] = [0] * slots
+        self.slot_frames: List[int] = [0] * slots
+        self.slot_codes: List[int] = [0] * slots
+        self.n_ticks = 0
+
+    def _admit(self, slot: int, req: dict) -> None:
+        g_vars, _, adm_params, _ = self.params
+        g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
+        tc_expand, tc_plm, n_frames = stream_prep(
+            g_vars, adm_params, g_cfg, adm_cfg,
+            jnp.asarray(req["phone"]), jnp.asarray(req["lens"]),
+            jnp.asarray(req["mels_prompt"]), self.Tmax, self.dtype,
+        )
+        total = int(np.asarray(n_frames)[0])
+        total_codes = min(self.Tc, -(-min(total + self.rv + self.rd, self.Tmax) // 8))
+        self.carry = admit_slot(
+            self.carry, jnp.asarray(slot, jnp.int32), tc_plm, tc_expand,
+            jnp.asarray(total_codes, jnp.int32),
+            jnp.asarray(plm_cfg.bos_id, jnp.int32),
+        )
+        self.slot_req[slot] = req
+        self.slot_emitted[slot] = 0
+        self.slot_frames[slot] = total
+        self.slot_codes[slot] = 0
+
+    def run(self, requests: List[dict]) -> Iterator[Tuple[Any, np.ndarray]]:
+        g_vars, plm_params, _, hifi_params = self.params
+        g_cfg, plm_cfg, _, hifi_cfg = self.cfgs
+        queue = list(requests)
+        out: Dict[int, List[np.ndarray]] = {}
+        Cc = self.F // 8
+
+        def live_slots():
+            return [s for s in range(self.S) if self.slot_req[s] is not None]
+
+        while queue or live_slots():
+            # fill free slots
+            for s in range(self.S):
+                if self.slot_req[s] is None and queue:
+                    self._admit(s, queue.pop(0))
+                    out[s] = []
+            # advance all slots one chunk of codes
+            self.carry = engine_tick(
+                plm_params, self.carry, plm_cfg, Cc, self.Tc, self.dtype, self.quant
+            )
+            self.n_ticks += 1
+            for s in live_slots():
+                self.slot_codes[s] = min(self.slot_codes[s] + Cc, self.Tc)
+            # emit one ready chunk per slot (batched)
+            a_vec, ready = [], []
+            for s in range(self.S):
+                req = self.slot_req[s]
+                if req is None:
+                    a_vec.append(0)
+                    ready.append(False)
+                    continue
+                j = self.slot_emitted[s]
+                need = min(
+                    self.Tc, -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8)
+                )
+                done_codes = self.slot_codes[s] >= need
+                has_frames = j * self.F < self.slot_frames[s]
+                a_vec.append(j * self.F if (done_codes and has_frames) else 0)
+                ready.append(done_codes and has_frames)
+            if any(ready):
+                wavs = np.asarray(
+                    emit_slots(
+                        g_vars, hifi_params, g_cfg, hifi_cfg, self.carry,
+                        jnp.asarray(a_vec, jnp.int32), self.F, self.rv, self.rd,
+                        self.dtype,
+                    )
+                )
+                for s in range(self.S):
+                    if not ready[s]:
+                        continue
+                    j = self.slot_emitted[s]
+                    total = self.slot_frames[s]
+                    w = wavs[s]
+                    if (j + 1) * self.F > total:
+                        w = w[: (total - j * self.F) * HIFIGAN_HOP_LENGTH]
+                    out[s].append(w)
+                    self.slot_emitted[s] = j + 1
+                    if (j + 1) * self.F >= total:
+                        req = self.slot_req[s]
+                        self.slot_req[s] = None
+                        yield req["id"], np.concatenate(out.pop(s))

@@ -30,6 +30,7 @@ class MegaPLM(nn.Module):
     decode: bool = False
     max_decode_len: int = 0
     quant: bool = False  # int8 weight-only Dense kernels (serving decode)
+    per_slot: bool = False  # per-row cache positions (continuous batching)
 
     def setup(self):
         c = self.cfg
@@ -44,6 +45,7 @@ class MegaPLM(nn.Module):
             decode=self.decode,
             use_flash=c.use_flash,
             quant=self.quant,
+            per_slot=self.per_slot,
         )
         if self.quant:
             from ..quantization.weight_only import QDense

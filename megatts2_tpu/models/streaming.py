@@ -236,6 +236,82 @@ def emit_chunk(
     ).astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g_cfg", "plm_cfg", "adm_cfg", "hifi_cfg", "Tmax", "F", "rv", "rd",
+        "dtype", "quant", "temperature", "top_k",
+    ),
+)
+def _stream_first(
+    g_vars, plm_params, adm_params, hifi_params,
+    g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+    phone, lens, mels_prompt,
+    Tmax: int, F: int, rv: int, rd: int,
+    dtype, quant: bool, temperature: float = 0.0, top_k: int = 0, rng=None,
+):
+    """First-chunk graph: content prep + PLM steps for chunk 0's window +
+    emit — ONE dispatch to first audio (the per-call tunnel round trip on
+    this target is ~75 ms, so every stage boundary crossed on the host
+    would land straight on TTFA)."""
+    Tc = Tmax // 8
+    n0 = min(Tc, (F + rv + rd) // 8)  # codes chunk 0 needs
+    tc_expand, tc_plm, n_frames = stream_prep.__wrapped__(
+        g_vars, adm_params, g_cfg, adm_cfg, phone, lens, mels_prompt, Tmax, dtype
+    )
+    cache, prev = plm_stream_start.__wrapped__(
+        plm_params, plm_cfg, tc_plm, Tc, dtype, quant, temperature, top_k, rng
+    )
+    codes = jnp.zeros((1, Tc), jnp.int32).at[:, 0].set(prev)
+    cache, prev, new = plm_stream_chunk.__wrapped__(
+        plm_params, plm_cfg, cache, prev, tc_plm, jnp.asarray(1, jnp.int32),
+        n0 - 1, Tc, dtype, quant, temperature, top_k, rng,
+    ) if n0 > 1 else (cache, prev, jnp.zeros((1, 0), jnp.int32))
+    codes = jax.lax.dynamic_update_slice(codes, new, (0, 1))
+    wav = emit_chunk.__wrapped__(
+        g_vars, hifi_params, g_cfg, hifi_cfg, tc_expand, codes,
+        jnp.asarray(0, jnp.int32), F, rv, rd, dtype,
+    )
+    carry = dict(tc_expand=tc_expand, tc_plm=tc_plm, cache=cache, prev=prev,
+                 codes=codes, n_codes=jnp.asarray(n0, jnp.int32))
+    return carry, wav, n_frames
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "g_cfg", "plm_cfg", "hifi_cfg", "F", "rv", "rd", "dtype", "quant",
+        "temperature", "top_k", "n_steps",
+    ),
+)
+def _stream_next(
+    g_vars, plm_params, hifi_params,
+    g_cfg, plm_cfg, hifi_cfg,
+    carry: dict, a,  # frame start of this chunk (scalar)
+    F: int, rv: int, rd: int, n_steps: int,
+    dtype, quant: bool, temperature: float = 0.0, top_k: int = 0, rng=None,
+):
+    """Steady-state chunk graph: advance the PLM ``n_steps`` codes, emit
+    frames [a, a+F) — one dispatch per audio chunk.  ``n_steps == 0``
+    (all codes decoded, only lag frames left to emit) skips the PLM."""
+    Tc = carry["codes"].shape[1]
+    if n_steps > 0:
+        cache, prev, new = plm_stream_chunk.__wrapped__(
+            plm_params, plm_cfg, carry["cache"], carry["prev"], carry["tc_plm"],
+            carry["n_codes"], n_steps, Tc, dtype, quant, temperature, top_k, rng,
+        )
+        codes = jax.lax.dynamic_update_slice(
+            carry["codes"], new, (0, carry["n_codes"])
+        )
+        carry = dict(carry, cache=cache, prev=prev, codes=codes,
+                     n_codes=carry["n_codes"] + n_steps)
+    wav = emit_chunk.__wrapped__(
+        g_vars, hifi_params, g_cfg, hifi_cfg, carry["tc_expand"], carry["codes"],
+        a, F, rv, rd, dtype,
+    )
+    return carry, wav
+
+
 def stream_synthesize(
     g_vars: dict,
     plm_params: dict,
@@ -258,50 +334,50 @@ def stream_synthesize(
 ) -> Iterator[np.ndarray]:
     """Generator of waveform chunks (np.float32, ``chunk_frames*hop``
     samples each except a possibly-trimmed last one); concatenated chunks
-    equal ``synthesize(...)`` trimmed to ``n_frames`` (greedy decode)."""
+    equal ``synthesize(...)`` trimmed to ``n_frames`` (greedy decode).
+
+    Dispatch discipline: chunk j is one jitted call; its successor is
+    dispatched (async) BEFORE chunk j's samples are pulled to the host, so
+    device compute overlaps the host-side transfer."""
     F = _roundup(chunk_frames, 8)
     rv = _roundup(hifigan_rf_frames(hifi_cfg), 8)
     rd = _roundup(decoder_rf_frames(g_cfg), 8)
     Tmax = max(_roundup(max_frames, F), F + 2 * (rv + rd))
     Tc = Tmax // 8
-    Cc = F // 8  # codes per PLM chunk
+    Cc = F // 8
 
-    tc_expand, tc_plm, n_frames = stream_prep(
-        g_vars, adm_params, g_cfg, adm_cfg,
+    carry, wav, n_frames = _stream_first(
+        g_vars, plm_params, adm_params, hifi_params,
+        g_cfg, plm_cfg, adm_cfg, hifi_cfg,
         jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels_prompt),
-        Tmax, dtype,
+        Tmax, F, rv, rd, dtype, quant, temperature, top_k, rng,
     )
     total = int(np.asarray(n_frames)[0])
     if total <= 0:
         return
     n_chunks = -(-total // F)
+    n0 = min(Tc, (F + rv + rd) // 8)
 
-    cache, prev = plm_stream_start(
-        plm_params, plm_cfg, tc_plm, Tc, dtype, quant, temperature, top_k, rng
-    )
-    codes_buf = np.zeros((1, Tc), np.int32)
-    codes_buf[0, 0] = int(np.asarray(prev)[0])
-    n_codes = 1
-    lag = rv + rd  # frames of future context an emit needs
+    pending = [(0, wav)]
+    n_codes = n0
+    for j in range(1, n_chunks):
+        # codes chunk j needs beyond what's already decoded (≤ Cc; 0 near
+        # the sequence end when only lag frames remain to emit)
+        n_steps = min(Cc, Tc - n_codes)
+        carry, wav = _stream_next(
+            g_vars, plm_params, hifi_params, g_cfg, plm_cfg, hifi_cfg,
+            carry, jnp.asarray(j * F, jnp.int32), F, rv, rd, n_steps,
+            dtype, quant, temperature, top_k, rng,
+        )
+        n_codes = min(Tc, n_codes + n_steps)
+        pending.append((j, wav))
+        jj, w = pending.pop(0)  # transfer chunk j-1 while j computes
+        yield _trim(np.asarray(w)[0], jj, F, total)
+    for jj, w in pending:
+        yield _trim(np.asarray(w)[0], jj, F, total)
 
-    for j in range(n_chunks):
-        need_codes = min(Tc, -(-min((j + 1) * F + lag, Tmax) // 8))
-        while n_codes < need_codes:
-            cache, prev, codes = plm_stream_chunk(
-                plm_params, plm_cfg, cache, prev, tc_plm,
-                jnp.asarray(n_codes, jnp.int32), Cc, Tc, dtype, quant,
-                temperature, top_k, rng,
-            )
-            take = min(Cc, Tc - n_codes)
-            codes_buf[0, n_codes : n_codes + take] = np.asarray(codes)[0, :take]
-            n_codes += take
-        wav = np.asarray(
-            emit_chunk(
-                g_vars, hifi_params, g_cfg, hifi_cfg, tc_expand,
-                jnp.asarray(codes_buf), jnp.asarray(j * F, jnp.int32),
-                F, rv, rd, dtype,
-            )
-        )[0]
-        if (j + 1) * F > total:  # trim the final chunk to the true length
-            wav = wav[: (total - j * F) * HIFIGAN_HOP_LENGTH]
-        yield wav
+
+def _trim(wav: np.ndarray, j: int, F: int, total: int) -> np.ndarray:
+    if (j + 1) * F > total:
+        return wav[: (total - j * F) * HIFIGAN_HOP_LENGTH]
+    return wav

@@ -58,6 +58,10 @@ class SinePositionalEmbedding(nn.Module):
         T = x.shape[-2]
         if isinstance(offset, int) and offset == 0:
             pos = pe[:T]
+        elif getattr(offset, "ndim", 0) == 1:
+            # per-example offsets (B,) — continuous-batching decode where
+            # every batch row sits at its own position
+            pos = jnp.take(pe, offset[:, None] + jnp.arange(T)[None, :], axis=0)
         else:
             pos = jnp.take(pe, offset + jnp.arange(T), axis=0)
         out = x * jnp.asarray(x_scale, dtype=x.dtype) + alpha.astype(x.dtype) * pos

@@ -59,6 +59,7 @@ class MultiHeadAttention(nn.Module):
     decode: bool = False  # enable the KV-cache single-token path
     use_flash: bool = False  # Pallas fused attention on the self-attn path
     quant: bool = False  # int8 weight-only Dense kernels (serving decode)
+    per_slot: bool = False  # per-row cache positions (continuous batching)
 
     @nn.compact
     def __call__(
@@ -97,21 +98,43 @@ class MultiHeadAttention(nn.Module):
             cache_v = self.variable(
                 "cache", "v", jnp.zeros, (B, max_decode_len, self.n_heads, head_dim), self.dtype
             )
-            cache_idx = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
-            idx = cache_idx.value
-            cache_k.value = jax.lax.dynamic_update_slice(cache_k.value, kh, (0, idx, 0, 0))
-            cache_v.value = jax.lax.dynamic_update_slice(cache_v.value, vh, (0, idx, 0, 0))
-            cache_idx.value = idx + Tq
-            # block-causal: query i (absolute position idx+i) sees cache
-            # positions <= idx+i — Tq=1 is the AR step, Tq>1 is a prompt
-            # prefill writing the whole prefix in one call
-            pos = jnp.arange(max_decode_len)
-            q_pos = idx + jnp.arange(Tq)
-            dec_mask = jnp.where(
-                pos[None, None, None, :] <= q_pos[None, None, :, None],
-                jnp.float32(0.0),
-                jnp.float32(NEG_INF),
-            )
+            if self.per_slot:
+                # continuous-batching mode: every batch row ("slot") sits at
+                # its OWN position — per-row index vector, scattered writes,
+                # per-row causal mask.  Single-token steps only.
+                assert Tq == 1
+                cache_idx = self.variable(
+                    "cache", "index", lambda: jnp.zeros((B,), jnp.int32)
+                )
+                idx = cache_idx.value  # (B,)
+                upd = lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (i, 0, 0))
+                cache_k.value = jax.vmap(upd)(cache_k.value, kh, idx)
+                cache_v.value = jax.vmap(upd)(cache_v.value, vh, idx)
+                cache_idx.value = idx + 1
+                pos = jnp.arange(max_decode_len)
+                dec_mask = jnp.where(
+                    pos[None, None, None, :] <= idx[:, None, None, None],
+                    jnp.float32(0.0),
+                    jnp.float32(NEG_INF),
+                )
+            else:
+                cache_idx = self.variable(
+                    "cache", "index", lambda: jnp.zeros((), jnp.int32)
+                )
+                idx = cache_idx.value
+                cache_k.value = jax.lax.dynamic_update_slice(cache_k.value, kh, (0, idx, 0, 0))
+                cache_v.value = jax.lax.dynamic_update_slice(cache_v.value, vh, (0, idx, 0, 0))
+                cache_idx.value = idx + Tq
+                # block-causal: query i (absolute position idx+i) sees cache
+                # positions <= idx+i — Tq=1 is the AR step, Tq>1 is a prompt
+                # prefill writing the whole prefix in one call
+                pos = jnp.arange(max_decode_len)
+                q_pos = idx + jnp.arange(Tq)
+                dec_mask = jnp.where(
+                    pos[None, None, None, :] <= q_pos[None, None, :, None],
+                    jnp.float32(0.0),
+                    jnp.float32(NEG_INF),
+                )
             att = _attend(qh, cache_k.value, cache_v.value, dec_mask)
         elif self.use_flash and kv is None and k_lens is not None:
             from ..ops.attention_pallas import flash_attention_vjp
@@ -135,6 +158,7 @@ class TransformerEncoderLayer(nn.Module):
     decode: bool = False
     use_flash: bool = False
     quant: bool = False
+    per_slot: bool = False
 
     @nn.compact
     def __call__(
@@ -150,7 +174,7 @@ class TransformerEncoderLayer(nn.Module):
         x = x + MultiHeadAttention(
             self.dim, self.n_heads, self.dropout, dtype=self.dtype,
             decode=self.decode, use_flash=self.use_flash, quant=self.quant,
-            name="attn",
+            per_slot=self.per_slot, name="attn",
         )(
             ln("norm1")(x), mask=mask, deterministic=deterministic,
             max_decode_len=max_decode_len, k_lens=k_lens, causal=causal,
@@ -200,6 +224,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False  # rematerialize layer activations (memory ↓, FLOPs ↑)
     use_flash: bool = False  # Pallas fused attention (self-attn, non-decode)
     quant: bool = False  # int8 weight-only Dense kernels (serving decode)
+    per_slot: bool = False  # per-row cache positions (continuous batching)
 
     @nn.compact
     def __call__(
@@ -236,6 +261,7 @@ class TransformerEncoder(nn.Module):
             decode=self.decode,
             use_flash=flash,
             quant=self.quant,
+            per_slot=self.per_slot,
         )
         if self.scan_layers:
             def body(layer: TransformerEncoderLayer, carry: jnp.ndarray):
