@@ -66,37 +66,44 @@ def engine_init(plm_params, plm_cfg, S: int, Tc: int, dtype, quant: bool):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def admit_slot(
+def admit_slots(
     carry: dict,
-    slot: jnp.ndarray,  # scalar int32
-    tc_plm1: jnp.ndarray,  # (1, Tc, D)
-    tc_expand1: jnp.ndarray,  # (1, Tf, H)
-    total_codes1: jnp.ndarray,  # scalar int32
+    slots: jnp.ndarray,  # (A,) int32 target slots
+    tc_plm_a: jnp.ndarray,  # (A, Tc, D)
+    tc_expand_a: jnp.ndarray,  # (A, Tf, H)
+    total_codes_a: jnp.ndarray,  # (A,) int32
     bos: jnp.ndarray,  # scalar int32
 ):
-    """Reset slot state in place and install the new request's content."""
-    z = lambda l: jax.lax.dynamic_update_index_in_dim(
-        l, jnp.zeros_like(l[:, 0]), slot, axis=1
-    )
-    cache = jax.tree_util.tree_map(z, carry["cache"])
-    return dict(
-        carry,
-        cache=cache,
-        tc_plm=jax.lax.dynamic_update_slice(
-            carry["tc_plm"], tc_plm1.astype(carry["tc_plm"].dtype), (slot, 0, 0)
-        ),
-        tc_expand=jax.lax.dynamic_update_slice(
-            carry["tc_expand"],
-            tc_expand1.astype(carry["tc_expand"].dtype),
-            (slot, 0, 0),
-        ),
-        codes=jax.lax.dynamic_update_index_in_dim(
-            carry["codes"], jnp.zeros_like(carry["codes"][0]), slot, axis=0
-        ),
-        prev=carry["prev"].at[slot].set(bos.astype(jnp.int32)),
-        pos=carry["pos"].at[slot].set(0),
-        total=carry["total"].at[slot].set(total_codes1.astype(jnp.int32)),
-    )
+    """Reset A slots in place and install their new requests' content —
+    ONE dispatch per admission group (prep is batched by the caller)."""
+
+    def one(carry, inp):
+        slot, tcp, tce, tot = inp
+        z = lambda l: jax.lax.dynamic_update_index_in_dim(
+            l, jnp.zeros_like(l[:, 0]), slot, axis=1
+        )
+        carry = dict(
+            carry,
+            cache=jax.tree_util.tree_map(z, carry["cache"]),
+            tc_plm=jax.lax.dynamic_update_slice(
+                carry["tc_plm"], tcp[None].astype(carry["tc_plm"].dtype), (slot, 0, 0)
+            ),
+            tc_expand=jax.lax.dynamic_update_slice(
+                carry["tc_expand"],
+                tce[None].astype(carry["tc_expand"].dtype),
+                (slot, 0, 0),
+            ),
+            codes=jax.lax.dynamic_update_index_in_dim(
+                carry["codes"], jnp.zeros_like(carry["codes"][0]), slot, axis=0
+            ),
+            prev=carry["prev"].at[slot].set(bos.astype(jnp.int32)),
+            pos=carry["pos"].at[slot].set(0),
+            total=carry["total"].at[slot].set(tot.astype(jnp.int32)),
+        )
+        return carry, ()
+
+    carry, _ = jax.lax.scan(one, carry, (slots, tc_plm_a, tc_expand_a, total_codes_a))
+    return carry
 
 
 @functools.partial(
@@ -124,9 +131,7 @@ def engine_tick(
     def step(st, _):
         cache, prev, pos, codes = st
         p = jnp.minimum(pos, Tc - 1)
-        tc_t = jax.vmap(
-            lambda tc, i: jax.lax.dynamic_slice_in_dim(tc, i, 1, axis=0)
-        )(carry["tc_plm"], p)  # (S, 1, D)
+        tc_t = jnp.take_along_axis(carry["tc_plm"], p[:, None, None], axis=1)
         logits, cache = model.apply(
             {"params": plm_params, **cache},
             tc_t,
@@ -137,11 +142,9 @@ def engine_tick(
         )
         code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         live = pos < carry["total"]
-        old = jax.vmap(lambda c, i: c[i])(codes, p)
-        write = jnp.where(live, code, old)
-        codes = jax.vmap(
-            lambda c, x, i: jax.lax.dynamic_update_index_in_dim(c, x, i, axis=0)
-        )(codes, write, p)
+        # dense masked write (TPU scatter avoidance, see transformer.py)
+        onehot = jnp.arange(Tc)[None, :] == p[:, None]
+        codes = jnp.where(onehot & live[:, None], code[:, None], codes)
         prev = jnp.where(live, code, prev)
         pos = jnp.where(live, pos + 1, pos)
         return (cache, prev, pos, codes), ()
@@ -154,6 +157,42 @@ def engine_tick(
         unroll=4,
     )
     return dict(carry, cache=cache, prev=prev, pos=pos, codes=codes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plm_cfg", "g_cfg", "hifi_cfg", "K", "Tc", "F", "rv", "rd", "dtype", "quant",
+    ),
+    donate_argnums=(3,),
+)
+def engine_tick_emit(
+    plm_params,
+    g_vars,
+    hifi_params,
+    carry: dict,
+    a_vec: jnp.ndarray,  # (S,) per-slot frame starts for this tick's emit
+    plm_cfg: MegaPLMConfig,
+    g_cfg: MegaGConfig,
+    hifi_cfg: HiFiGANConfig,
+    K: int,
+    Tc: int,
+    F: int,
+    rv: int,
+    rd: int,
+    dtype,
+    quant: bool,
+):
+    """Fused tick + emit: ONE dispatch advances every slot K codes and
+    produces this tick's audio chunks.  The host can pass ``a_vec``
+    up-front because the schedule is deterministic (codes advance exactly
+    K per tick), so nothing needs a round trip between decode and emit —
+    on a tunneled target every saved dispatch is ~75 ms."""
+    carry = engine_tick.__wrapped__(plm_params, carry, plm_cfg, K, Tc, dtype, quant)
+    wavs = emit_slots.__wrapped__(
+        g_vars, hifi_params, g_cfg, hifi_cfg, carry, a_vec, F, rv, rd, dtype
+    )
+    return carry, wavs
 
 
 @functools.partial(
@@ -263,84 +302,148 @@ class ContinuousEngine:
         self.slot_codes: List[int] = [0] * slots
         self.n_ticks = 0
 
-    def _admit(self, slot: int, req: dict) -> None:
+    def _admit_many(self, pairs: List[Tuple[int, dict]]) -> None:
+        """Admit several requests with a FIXED compile surface.
+
+        Two rules keep the remote-compile count bounded and the output
+        deterministic per request:
+
+        * phones pad to each request's OWN next-multiple-of-16 bucket (NOT
+          the group max) — the MRTE conv-FF leaks a few positions past
+          ``lens`` into padding, so the bucket must be a per-request
+          property or the output would depend on co-admitted requests;
+        * every prep batch and the admit call are padded to the full slot
+          count ``S`` by DUPLICATING entries — duplicate slot writes are
+          idempotent (same content re-written), so ONE admit graph and ONE
+          prep graph per Tp bucket serve every group composition.
+        """
         g_vars, _, adm_params, _ = self.params
         g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
-        tc_expand, tc_plm, n_frames = stream_prep(
-            g_vars, adm_params, g_cfg, adm_cfg,
-            jnp.asarray(req["phone"]), jnp.asarray(req["lens"]),
-            jnp.asarray(req["mels_prompt"]), self.Tmax, self.dtype,
-        )
-        total = int(np.asarray(n_frames)[0])
-        total_codes = min(self.Tc, -(-min(total + self.rv + self.rd, self.Tmax) // 8))
-        self.carry = admit_slot(
-            self.carry, jnp.asarray(slot, jnp.int32), tc_plm, tc_expand,
-            jnp.asarray(total_codes, jnp.int32),
+        buckets: Dict[int, List[int]] = {}
+        for i, (_, r) in enumerate(pairs):
+            tp = -(-int(r["phone"].shape[1]) // 16) * 16
+            buckets.setdefault(tp, []).append(i)
+        tc_plm = [None] * len(pairs)
+        tc_expand = [None] * len(pairs)
+        totals = np.zeros((len(pairs),), np.int64)
+        for Tp, idxs in buckets.items():
+            pad_idxs = idxs + [idxs[0]] * (self.S - len(idxs))  # fixed batch
+            phone = np.zeros((self.S, Tp), np.int32)
+            lens = np.zeros((self.S,), np.int32)
+            mels = np.stack([pairs[i][1]["mels_prompt"][0] for i in pad_idxs])
+            for k, i in enumerate(pad_idxs):
+                r = pairs[i][1]
+                phone[k, : r["phone"].shape[1]] = r["phone"][0]
+                lens[k] = int(r["lens"][0])
+            tce, tcp, nf = stream_prep(
+                g_vars, adm_params, g_cfg, adm_cfg,
+                jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels),
+                self.Tmax, self.dtype,
+            )
+            nf = np.asarray(nf)
+            for k, i in enumerate(idxs):  # only the real rows
+                tc_plm[i] = tcp[k]
+                tc_expand[i] = tce[k]
+                totals[i] = int(nf[k])
+        total_codes = np.minimum(
+            self.Tc,
+            -(-np.minimum(totals + self.rv + self.rd, self.Tmax) // 8),
+        ).astype(np.int32)
+        # pad the admit batch to S by duplicating entry 0 (idempotent)
+        order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
+        self.carry = admit_slots(
+            self.carry,
+            jnp.asarray([pairs[i][0] for i in order], jnp.int32),
+            jnp.stack([tc_plm[i] for i in order]),
+            jnp.stack([tc_expand[i] for i in order]),
+            jnp.asarray(total_codes[np.asarray(order)]),
             jnp.asarray(plm_cfg.bos_id, jnp.int32),
         )
-        self.slot_req[slot] = req
-        self.slot_emitted[slot] = 0
-        self.slot_frames[slot] = total
-        self.slot_codes[slot] = 0
+        for i, (slot, req) in enumerate(pairs):
+            self.slot_req[slot] = req
+            self.slot_emitted[slot] = 0
+            self.slot_frames[slot] = int(totals[i])
+            self.slot_codes[slot] = 0
 
     def run(self, requests: List[dict]) -> Iterator[Tuple[Any, np.ndarray]]:
+        """Drive the engine over a request list, yielding ``(id, wav)`` in
+        completion order.
+
+        Transfer/compute overlap: each tick's emitted chunks stay ON
+        DEVICE while the next admission+tick dispatch; the previous tick's
+        samples are pulled to the host only then.  Slot bookkeeping
+        (emitted counters, freeing) happens at dispatch time, so a freed
+        slot can be re-admitted immediately — the in-flight emit read its
+        data before the admit's donated overwrite executes (runtime data
+        dependency)."""
         g_vars, plm_params, _, hifi_params = self.params
         g_cfg, plm_cfg, _, hifi_cfg = self.cfgs
         queue = list(requests)
-        out: Dict[int, List[np.ndarray]] = {}
+        bufs: Dict[int, List[np.ndarray]] = {}
+        totals: Dict[int, int] = {}
         Cc = self.F // 8
+        pending = None  # (device wavs, [(req, chunk j, batch row)])
 
         def live_slots():
             return [s for s in range(self.S) if self.slot_req[s] is not None]
 
-        while queue or live_slots():
-            # fill free slots
+        def flush(p):
+            wavs = np.asarray(p[0])
+            for req, j, row in p[1]:
+                total = totals[id(req)]
+                w = wavs[row]
+                if (j + 1) * self.F > total:
+                    w = w[: (total - j * self.F) * HIFIGAN_HOP_LENGTH]
+                bufs[id(req)].append(w)
+                if (j + 1) * self.F >= total:
+                    totals.pop(id(req))
+                    yield req["id"], np.concatenate(bufs.pop(id(req)))
+
+        while queue or live_slots() or pending:
+            # fill free slots (one batched admission per loop)
+            pairs = []
             for s in range(self.S):
                 if self.slot_req[s] is None and queue:
-                    self._admit(s, queue.pop(0))
-                    out[s] = []
-            # advance all slots one chunk of codes
-            self.carry = engine_tick(
-                plm_params, self.carry, plm_cfg, Cc, self.Tc, self.dtype, self.quant
-            )
-            self.n_ticks += 1
-            for s in live_slots():
-                self.slot_codes[s] = min(self.slot_codes[s] + Cc, self.Tc)
-            # emit one ready chunk per slot (batched)
-            a_vec, ready = [], []
-            for s in range(self.S):
-                req = self.slot_req[s]
-                if req is None:
-                    a_vec.append(0)
-                    ready.append(False)
-                    continue
-                j = self.slot_emitted[s]
-                need = min(
-                    self.Tc, -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8)
-                )
-                done_codes = self.slot_codes[s] >= need
-                has_frames = j * self.F < self.slot_frames[s]
-                a_vec.append(j * self.F if (done_codes and has_frames) else 0)
-                ready.append(done_codes and has_frames)
-            if any(ready):
-                wavs = np.asarray(
-                    emit_slots(
-                        g_vars, hifi_params, g_cfg, hifi_cfg, self.carry,
-                        jnp.asarray(a_vec, jnp.int32), self.F, self.rv, self.rd,
-                        self.dtype,
-                    )
-                )
+                    pairs.append((s, queue.pop(0)))
+            if pairs:
+                self._admit_many(pairs)
+                for s, req in pairs:
+                    bufs[id(req)] = []
+                    totals[id(req)] = self.slot_frames[s]
+            # the schedule is deterministic (each tick adds exactly Cc
+            # codes), so the emit plan for the POST-tick state is computed
+            # up front and tick+emit run as ONE fused dispatch
+            new_pending = None
+            if live_slots():
+                for s in live_slots():
+                    self.slot_codes[s] = min(self.slot_codes[s] + Cc, self.Tc)
+                a_vec, items = [0] * self.S, []
                 for s in range(self.S):
-                    if not ready[s]:
+                    req = self.slot_req[s]
+                    if req is None:
                         continue
                     j = self.slot_emitted[s]
-                    total = self.slot_frames[s]
-                    w = wavs[s]
-                    if (j + 1) * self.F > total:
-                        w = w[: (total - j * self.F) * HIFIGAN_HOP_LENGTH]
-                    out[s].append(w)
-                    self.slot_emitted[s] = j + 1
-                    if (j + 1) * self.F >= total:
-                        req = self.slot_req[s]
-                        self.slot_req[s] = None
-                        yield req["id"], np.concatenate(out.pop(s))
+                    need = min(
+                        self.Tc,
+                        -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8),
+                    )
+                    if self.slot_codes[s] >= need and j * self.F < self.slot_frames[s]:
+                        a_vec[s] = j * self.F
+                        items.append((req, j, s))
+                        self.slot_emitted[s] = j + 1
+                        if (j + 1) * self.F >= self.slot_frames[s]:
+                            self.slot_req[s] = None  # free at dispatch time
+                self.carry, wavs = engine_tick_emit(
+                    plm_params, g_vars, hifi_params, self.carry,
+                    jnp.asarray(a_vec, jnp.int32), plm_cfg, g_cfg, hifi_cfg,
+                    Cc, self.Tc, self.F, self.rv, self.rd, self.dtype, self.quant,
+                )
+                self.n_ticks += 1
+                if items:
+                    new_pending = (wavs, items)
+            # pull the PREVIOUS tick's samples while this one computes
+            if pending is not None:
+                yield from flush(pending)
+            pending = new_pending
+        if pending is not None:
+            yield from flush(pending)

@@ -107,9 +107,14 @@ class MultiHeadAttention(nn.Module):
                     "cache", "index", lambda: jnp.zeros((B,), jnp.int32)
                 )
                 idx = cache_idx.value  # (B,)
-                upd = lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (i, 0, 0))
-                cache_k.value = jax.vmap(upd)(cache_k.value, kh, idx)
-                cache_v.value = jax.vmap(upd)(cache_v.value, vh, idx)
+                # dense masked write, NOT vmapped dynamic_update_slice: the
+                # latter lowers to TPU scatter (serial, ~10x slower here);
+                # the one-hot where() is a plain bandwidth-bound pass
+                onehot = (
+                    jnp.arange(max_decode_len)[None, :] == idx[:, None]
+                )[:, :, None, None]
+                cache_k.value = jnp.where(onehot, kh, cache_k.value)
+                cache_v.value = jnp.where(onehot, vh, cache_v.value)
                 cache_idx.value = idx + 1
                 pos = jnp.arange(max_decode_len)
                 dec_mask = jnp.where(

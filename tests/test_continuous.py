@@ -82,10 +82,16 @@ class TestEngineEqualsSynthesize:
         assert set(got) == {"r0", "r1", "r2"}
 
         for r in reqs:
+            # the engine pads phones per-request to the next 16 bucket
+            # (same as synthesize_batch) — mirror it for the reference call
+            tp = r["phone"].shape[1]
+            Tp = -(-tp // 16) * 16
+            phone = np.zeros((1, Tp), np.int32)
+            phone[0, :tp] = r["phone"][0]
             wav_full, _, n_frames = synthesize(
                 g_vars, plm_params, adm_params, hifi_params,
                 TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
-                jnp.asarray(r["phone"]), jnp.asarray(r["lens"]),
+                jnp.asarray(phone), jnp.asarray(r["lens"]),
                 jnp.asarray(r["mels_prompt"]),
                 max_frames=eng.Tmax, dtype=jnp.float32,
             )

@@ -180,6 +180,39 @@ class TestMegattsE2E:
         assert os.path.exists(out_q)
         assert np.isfinite(wav_q).all() and wav_q.shape[0] > 8000
 
+    def test_serve_bucketed_and_continuous(self, e2e_setup):
+        """serve.py end-to-end in both modes: bucketed batches and the
+        continuous-batching engine produce a wav per request."""
+        from megatts2_tpu.serve import main as serve_main
+
+        s = e2e_setup
+        reqs = str(s["root"] / "reqs.jsonl")
+        with open(reqs, "w") as f:
+            for i, text in enumerate(["hello world", "world hello", "hello"]):
+                f.write(
+                    '{"id": "u%d", "text": "%s", "wavs_dir": "%s"}\n'
+                    % (i, text, s["wavs"])
+                )
+        common = [
+            "--requests", reqs,
+            "--g_ckpt", str(s["root"] / "ck_gan"), "--g_config", s["paths"]["gan"],
+            "--plm_ckpt", str(s["root"] / "ck_plm"), "--plm_config", s["paths"]["plm"],
+            "--adm_ckpt", str(s["root"] / "ck_adm"), "--adm_config", s["paths"]["adm"],
+            "--symbol_table", s["sym"], "--max_frames", "128",
+            "--buckets", "64,128", "--batch_size", "8",  # divisible by the
+            # 8-device virtual mesh's data axis
+        ]
+        out_b = str(s["root"] / "served_bucketed")
+        serve_main(common + ["--out_dir", out_b])
+        out_c = str(s["root"] / "served_continuous")
+        serve_main(common + [
+            "--out_dir", out_c, "--continuous", "--slots", "2",
+            "--chunk_frames", "32",
+        ])
+        for out in (out_b, out_c):
+            for i in range(3):
+                assert os.path.exists(os.path.join(out, f"u{i}.wav")), (out, i)
+
     def test_unknown_token_raises_keyerror(self, e2e_setup):
         from megatts2_tpu.models import megatts_from_pretrained
 

@@ -225,15 +225,11 @@ def section_int8(reps: int = 5):
             }), flush=True)
 
 
-def section_stream():
-    """Streaming synthesis: time-to-first-audio vs one-shot latency for a
-    long utterance (B=1, 2048-frame budget ≈ 33 s of audio)."""
+def _full_models(quant: bool = True):
+    """Full-size (reference-config) cascade params; PLM int8 when quant."""
     from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
-    from megatts2_tpu.models.megatts import synthesize
-    from megatts2_tpu.models.streaming import stream_synthesize
     from megatts2_tpu.quantization.weight_only import quantize_tree
 
-    Tp, Tm, max_frames, F = 256, 512, 2048, 256
     g_cfg = MegaGConfig()
     plm_cfg = MegaPLMConfig()
     adm_cfg = MegaADMConfig(tc_emb_dim=512)
@@ -241,12 +237,12 @@ def section_stream():
     key = jax.random.PRNGKey(0)
     g_vars = jax.jit(MegaG(g_cfg).init)(
         {"params": key, "vq": key},
-        jnp.ones((1, Tp), jnp.int32), jnp.zeros((1, Tp), jnp.int32),
-        jnp.asarray([Tp]), jnp.zeros((1, 128, 80)), jnp.zeros((1, 128, 80)),
+        jnp.ones((1, 64), jnp.int32), jnp.zeros((1, 64), jnp.int32),
+        jnp.asarray([64]), jnp.zeros((1, 128, 80)), jnp.zeros((1, 128, 80)),
     )
-    plm_params = quantize_tree(jax.jit(MegaPLM(plm_cfg).init)(
+    plm_params = jax.jit(MegaPLM(plm_cfg).init)(
         key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
-    )["params"])
+    )["params"]
     adm_params = jax.jit(MegaADM(adm_cfg).init)(
         key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
     )["params"]
@@ -255,7 +251,23 @@ def section_stream():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
     g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
+    plm_params = quantize_tree(plm_params) if quant else cast(plm_params)
     adm_params, hifi_params = cast(adm_params), cast(hifi_params)
+    return (g_vars, plm_params, adm_params, hifi_params), (
+        g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+    )
+
+
+def section_stream():
+    """Streaming synthesis: time-to-first-audio vs one-shot latency for a
+    long utterance (B=1, 2048-frame budget ≈ 33 s of audio)."""
+    from megatts2_tpu.models.megatts import synthesize
+    from megatts2_tpu.models.streaming import stream_synthesize
+
+    Tp, Tm, max_frames, F = 256, 512, 2048, 256
+    (g_vars, plm_params, adm_params, hifi_params), (
+        g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+    ) = _full_models(quant=True)
 
     rng = np.random.RandomState(0)
     phones = rng.randint(1, 320, (1, Tp)).astype(np.int32)
@@ -300,6 +312,86 @@ def section_stream():
         "full_latency_ms": round(t_full * 1e3, 1),
         "audio_samples": n,
         "ttfa_speedup_vs_full": round(t_full / ttfa, 2),
+    }), flush=True)
+
+
+def section_continuous():
+    """Continuous-batching engine vs bucketed batch serving on mixed
+    traffic (60% short ~128fr / 30% medium ~256fr / 10% long ~512fr —
+    random-weight ADM ≈ 1 frame per phone, so phone counts set lengths)."""
+    from megatts2_tpu.continuous import ContinuousEngine
+    from megatts2_tpu.models.megatts import synthesize
+
+    (g_vars, plm_params, adm_params, hifi_params), (
+        g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+    ) = _full_models(quant=True)
+
+    rng = np.random.RandomState(0)
+    N = 32
+    lengths = ([128] * 19 + [256] * 10 + [512] * 3)
+    rng.shuffle(lengths)
+    reqs = [
+        {
+            "id": i,
+            "phone": rng.randint(1, 320, (1, L)).astype(np.int32),
+            "lens": np.full((1,), L, np.int32),
+            "mels_prompt": rng.randn(1, 512, 80).astype(np.float32),
+        }
+        for i, L in enumerate(lengths)
+    ]
+
+    def run_engine():
+        eng = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+            slots=8, max_frames=512, chunk_frames=256,
+            dtype=jnp.bfloat16, quant=True,
+        )
+        t0 = time.perf_counter()
+        audio = sum(w.shape[0] for _, w in eng.run(list(reqs)))
+        return time.perf_counter() - t0, audio, eng.n_ticks
+
+    run_engine()  # compile
+    dt_eng, audio, ticks = run_engine()
+
+    # bucketed baseline: group by frame bucket, B=8 batches, pad partials
+    def run_bucketed():
+        groups = {}
+        for r in reqs:
+            b = min(b for b in (128, 256, 512) if r["lens"][0] <= b)
+            groups.setdefault(b, []).append(r)
+        t0 = time.perf_counter()
+        for b, rs in sorted(groups.items()):
+            for i in range(0, len(rs), 8):
+                chunk = rs[i : i + 8]
+                chunk = chunk + [chunk[-1]] * (8 - len(chunk))  # pad batch
+                Tp = max(r["phone"].shape[1] for r in chunk)
+                Tp = -(-Tp // 16) * 16
+                phone = np.zeros((8, Tp), np.int32)
+                lens = np.zeros((8,), np.int32)
+                for k, r in enumerate(chunk):
+                    phone[k, : r["phone"].shape[1]] = r["phone"][0]
+                    lens[k] = r["lens"][0]
+                mels = np.stack([r["mels_prompt"][0] for r in chunk])
+                wav, _, nf = synthesize(
+                    g_vars, plm_params, adm_params, hifi_params,
+                    g_cfg, plm_cfg, adm_cfg, hifi_cfg,
+                    jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels),
+                    max_frames=b, dtype=jnp.bfloat16, quant=True,
+                )
+                np.asarray(wav[:, -1])
+        return time.perf_counter() - t0
+
+    run_bucketed()  # compile
+    dt_bkt = run_bucketed()
+    print(json.dumps({
+        "section": "continuous", "requests": N,
+        "workload": "60/30/10 short/med/long",
+        "engine_s": round(dt_eng, 2), "engine_utt_per_s": round(N / dt_eng, 2),
+        "engine_ticks": ticks,
+        "bucketed_s": round(dt_bkt, 2), "bucketed_utt_per_s": round(N / dt_bkt, 2),
+        "speedup": round(dt_bkt / dt_eng, 2),
+        "audio_samples": audio,
     }), flush=True)
 
 

@@ -74,13 +74,28 @@ def build_corpus(root: str, n_per_spk: int = 24, seed: int = 0) -> tuple:
     return wavs, tgs, ds
 
 
+def _curve(log_dir: str, name: str, keys: tuple) -> dict:
+    path = os.path.join(log_dir, f"{name}_metrics.jsonl")
+    rows = [json.loads(l) for l in open(path)]
+    out = {}
+    for k in keys:
+        out[k] = [(r["step"], round(r[k], 4)) for r in rows if k in r]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=2000, help="GAN steps")
+    ap.add_argument("--lm_steps", type=int, default=0,
+                    help="PLM/ADM steps (0 = GAN only)")
+    ap.add_argument("--stages", default="gan",
+                    help="comma list from {gan,plm,adm}; plm/adm run "
+                         "stage-2 extraction off the trained GAN ckpt")
     ap.add_argument("--val_every", type=int, default=200)
     ap.add_argument("--n_per_spk", type=int, default=24)
     ap.add_argument("--root", default=None)
     args = ap.parse_args()
+    stages = args.stages.split(",")
 
     root = args.root or tempfile.mkdtemp(prefix="megatts_curve_")
     wavs, tgs, ds = build_corpus(root, args.n_per_spk)
@@ -91,38 +106,55 @@ def main():
     prep_main(["--stage", "1", "--wavtxt_path", wavs, "--text_grid_path", tgs,
                "--ds_path", ds, "--test_set_ratio", "0.125"])
 
-    # reference-size GAN config (configs/config_gan.yaml) on this corpus
     import yaml
-
-    with open("configs/config_gan.yaml") as f:
-        cfg = yaml.safe_load(f)
-    cfg["trainer"] = {
-        "max_steps": args.steps,
-        "log_every_n_steps": 50,
-        "val_check_interval": args.val_every,
-    }
-    cfg["data"].update({"ds_path": ds + "/", "min_duration": 1.0,
-                        "max_duration_batch": 40})
-    cfg_path = os.path.join(root, "gan.yaml")
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(cfg, f)
 
     from megatts2_tpu.cli import main as cli_main
 
     log_dir = os.path.join(root, "logs")
-    cli_main(["fit", "-c", cfg_path, "--stage", "gan",
-              "--log_dir", log_dir, "--ckpt_dir", os.path.join(root, "ckpts")])
+    report = {"corpus": root, "steps": args.steps}
 
-    # print the loss_re trajectory
-    rows = [json.loads(l) for l in open(os.path.join(log_dir, "gan_metrics.jsonl"))]
-    train = [(r["step"], r["train/G_loss_re"]) for r in rows if "train/G_loss_re" in r]
-    val = [(r["step"], r["val/loss_re"]) for r in rows if "val/loss_re" in r]
-    print(json.dumps({
-        "corpus": root,
-        "steps": args.steps,
-        "train_loss_re": [(s, round(v, 4)) for s, v in train],
-        "val_loss_re": [(s, round(v, 4)) for s, v in val],
-    }))
+    def fit(stage: str, steps: int, data_overrides: dict):
+        with open(f"configs/config_{'gan' if stage == 'gan' else stage}.yaml") as f:
+            cfg = yaml.safe_load(f)
+        cfg["trainer"] = {
+            "max_steps": steps,
+            "log_every_n_steps": 50,
+            "val_check_interval": args.val_every,
+        }
+        cfg.setdefault("data", {}).update(
+            {"ds_path": ds + "/", "min_duration": 1.0, **data_overrides}
+        )
+        cfg_path = os.path.join(root, f"{stage}.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        cli_main(["fit", "-c", cfg_path, "--stage", stage,
+                  "--log_dir", log_dir,
+                  "--ckpt_dir", os.path.join(root, "ckpts", stage)])
+
+    if "gan" in stages:
+        # reference-size GAN config (configs/config_gan.yaml) on this corpus
+        fit("gan", args.steps, {"max_duration_batch": 40})
+        report["gan"] = _curve(log_dir, "gan", ("train/G_loss_re", "val/loss_re"))
+
+    if "plm" in stages or "adm" in stages:
+        from megatts2_tpu.training.checkpoints import latest_checkpoint
+
+        ck = latest_checkpoint(os.path.join(root, "ckpts", "gan"))
+        assert ck, "PLM/ADM curves need a trained GAN checkpoint (run gan first)"
+        prep_main(["--stage", "2", "--ds_path", ds,
+                   "--generator_ckpt", ck,
+                   "--generator_config", os.path.join(root, "gan.yaml")])
+        lm_steps = args.lm_steps or args.steps
+        if "plm" in stages:
+            fit("plm", lm_steps, {"max_n_cuts": 4})
+            report["plm"] = _curve(
+                log_dir, "plm", ("train/loss", "val/loss", "val/ac10")
+            )
+        if "adm" in stages:
+            fit("adm", lm_steps, {"max_duration_batch": 200})
+            report["adm"] = _curve(log_dir, "adm", ("train/loss", "val/loss"))
+
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
