@@ -20,7 +20,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="megatts2_tpu training")
     p.add_argument("command", choices=["fit"], help="train a stage")
     p.add_argument("--config", "-c", required=True)
-    p.add_argument("--stage", choices=["gan", "plm", "adm"], default=None)
+    p.add_argument("--stage", choices=["gan", "plm", "adm", "vocoder"], default=None)
     p.add_argument("--ckpt_path", default=None, help="resume from orbax checkpoint")
     p.add_argument("--init_from_torch", default=None,
                    help="reference Lightning .ckpt to initialize model weights"
@@ -41,9 +41,9 @@ def infer_stage(config_path: str) -> str:
     with open(config_path) as f:
         cfg = yaml.safe_load(f)
     model = cfg.get("model", {})
-    for key in ("G", "plm", "adm"):
+    for key in ("G", "plm", "adm", "vocoder"):
         if key in model:
-            return {"G": "gan", "plm": "plm", "adm": "adm"}[key]
+            return {"G": "gan", "plm": "plm", "adm": "adm", "vocoder": "vocoder"}[key]
     raise ValueError("cannot infer stage from config; pass --stage")
 
 
@@ -85,6 +85,7 @@ def main(argv=None):
         DurationBucketSampler,
         GANBatchBuilder,
         PLMBatchBuilder,
+        VocoderBatchBuilder,
     )
     from .parallel import make_mesh, maybe_initialize_distributed
     from .training import run_training
@@ -187,6 +188,34 @@ def main(argv=None):
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
             eval_step=eval_fn, valid_loader_factory=valid_f, mesh=mesh,
             trace_dir=args.trace_dir,
+        )
+    elif stage == "vocoder":
+        from .config import load_vocoder_config
+        from .training import (
+            create_vocoder_state,
+            make_vocoder_eval_step,
+            make_vocoder_train_step,
+        )
+
+        voc_cfg, d_cfg, tcfg = load_vocoder_config(args.config)
+        rng = jax.random.PRNGKey(tcfg.seed)
+        train_f, valid_f = loaders(
+            VocoderBatchBuilder,
+            dict(max_duration_batch=None, max_cuts=dcfg.get("batch_size", 16),
+                 num_buckets=1),
+            dict(segment_frames=tcfg.segment_frames),
+        )
+        example = next(iter(train_f(0)))
+        state, g_tx, d_tx = create_vocoder_state(rng, voc_cfg, d_cfg, tcfg, example)
+        state = _maybe_restore(state, args.ckpt_path, ckpt_dir, mesh, zero=args.zero_opt)
+        step_fn = make_vocoder_train_step(voc_cfg, d_cfg, tcfg, g_tx, d_tx)
+        eval_fn = make_vocoder_eval_step(voc_cfg, tcfg)
+        run_training(
+            "vocoder", state, step_fn, train_f, tcfg.max_steps,
+            log_dir=args.log_dir, ckpt_dir=ckpt_dir,
+            log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            eval_step=lambda s, b: {"loss": eval_fn(s, b)["loss"]},
+            valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
         )
     else:  # adm
         from .config import load_adm_config

@@ -152,6 +152,59 @@ class HiFiGANConfig:
 
 
 @dataclass(frozen=True)
+class VocosConfig:
+    """Vocos-style iSTFT vocoder (arXiv:2306.00814 topology) at the same
+    16 kHz / hop-256 geometry as :class:`HiFiGANConfig`.
+
+    Not a reference component (the reference only consumes a pretrained
+    time-domain HiFi-GAN); this is the framework's fast vocoder family —
+    the backbone runs at MEL rate (no 256x transposed-conv upsampling) and
+    an iSTFT head reconstructs the waveform, ~23x fewer FLOPs than
+    HiFi-GAN V1 at equal output length."""
+
+    in_channels: int = HIFIGAN_MEL_CHANNELS
+    dim: int = 512
+    intermediate_dim: int = 1536
+    num_layers: int = 8
+    n_fft: int = 1024
+    hop_length: int = HIFIGAN_HOP_LENGTH
+    mag_clip: float = 100.0  # exp(log-mag) safety clip, as in Vocos
+
+
+@dataclass(frozen=True)
+class WaveDiscConfig:
+    """Waveform discriminator set for vocoder training (HiFi-GAN MPD+MSD
+    topology, arXiv:2010.05646 — no reference counterpart; the reference
+    never trains a vocoder)."""
+
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
+    mpd_base_ch: int = 32
+    msd_base_ch: int = 128
+    max_ch: int = 1024
+    lrelu_slope: float = 0.1
+
+
+@dataclass(frozen=True)
+class VocoderTrainConfig:
+    """Vocoder GAN training knobs (HiFi-GAN recipe defaults)."""
+
+    initial_learning_rate: float = 2e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    lr_decay: float = 0.999  # per-epoch-style exponential decay on steps
+    lr_decay_steps: int = 1000
+    max_steps: int = 400_000
+    segment_frames: int = 64  # training crop: frames (x256 samples)
+    mel_loss_coeff: float = 45.0
+    fm_loss_coeff: float = 2.0
+    train_dtype: str = "bfloat16"
+    log_every_n_steps: int = 100
+    val_check_interval: int = 1500
+    seed: int = 0
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     initial_learning_rate: float = 3e-5
     warmup_steps: int = 200
@@ -214,6 +267,24 @@ def load_gan_config(path: str) -> tuple[MegaGConfig, DiscriminatorConfig, TrainC
     d = _build(DiscriminatorConfig, m.get("D", {}))
     t = _build(TrainConfig, {**m, **cfg.get("trainer", {})})
     return g, d, t
+
+
+def load_vocoder_config(path: str):
+    """Vocoder-training YAML → (voc_cfg, WaveDiscConfig, VocoderTrainConfig).
+    ``model.vocoder.family`` picks the generator: ``vocos`` (default, fast
+    iSTFT family) or ``hifigan``."""
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    m = cfg["model"]
+    v = dict(m.get("vocoder", {}))
+    family = v.pop("family", "vocos")
+    if family not in ("vocos", "hifigan"):
+        raise ValueError(f"unknown vocoder family {family!r}")
+    vcls = VocosConfig if family == "vocos" else HiFiGANConfig
+    voc = _build(vcls, v.get("init_args", v), strict_source=True)
+    d = _build(WaveDiscConfig, m.get("D", {}))
+    t = _build(VocoderTrainConfig, {**m, **cfg.get("trainer", {})})
+    return voc, d, t
 
 
 def load_plm_config(path: str) -> tuple[MegaPLMConfig, TrainConfig]:

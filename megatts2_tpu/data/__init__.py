@@ -1,5 +1,6 @@
 from .datasets import (ADMBatchBuilder, GANBatchBuilder, LatentReader,
-                       PLMBatchBuilder, TokensCollector, expand_by_durations,
+                       PLMBatchBuilder, TokensCollector,
+                       VocoderBatchBuilder, expand_by_durations,
                        max_pool_1d_ceil, prompt_features)
 from .features import FeatureReader, FeatureWriter
 from .loader import DataLoader

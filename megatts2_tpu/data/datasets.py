@@ -163,6 +163,52 @@ class GANBatchBuilder:
         }
 
 
+class VocoderBatchBuilder:
+    """Raw-waveform crops for vocoder GAN training (no reference
+    counterpart — the reference never trains a vocoder).
+
+    Emits ``{"wav": (B, segment_frames*hop)}`` float32 crops at random
+    offsets (seeded), zero-padded when an utterance is shorter than the
+    segment.  The mel input/target is deliberately NOT built here: the
+    train step computes it on-device with the framework's own mel kernel
+    (``training/vocoder_trainer.py``), so the host ships 1/80th the bytes
+    and mel numerics are exactly the synthesis-time ones."""
+
+    def __init__(
+        self,
+        manifest: CutManifest,
+        ds_path: str,  # unused; uniform builder signature
+        segment_frames: int = 64,
+        hop: int = 256,
+        seed: int = 0,
+    ):
+        self.manifest = manifest
+        self.n_samples = segment_frames * hop
+        self.rng = np.random.RandomState(seed)
+        self._cache: dict = {}
+
+    def _load(self, cut) -> np.ndarray:
+        wav = self._cache.get(cut.id)
+        if wav is None:
+            from ..utils.audio import load_wav
+
+            wav = load_wav(cut.wav_path, 16000).astype(np.float32)
+            if len(self._cache) < 256:  # small LRU-ish cache for tiny corpora
+                self._cache[cut.id] = wav
+        return wav
+
+    def __call__(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        out = np.zeros((len(idxs), self.n_samples), np.float32)
+        for i, idx in enumerate(idxs):
+            y = self._load(self.manifest[idx])
+            if y.shape[0] <= self.n_samples:
+                out[i, : y.shape[0]] = y
+            else:
+                start = self.rng.randint(0, y.shape[0] - self.n_samples + 1)
+                out[i] = y[start : start + self.n_samples]
+        return {"wav": out}
+
+
 class LatentReader:
     """Stage-2 latent store: {ds_path}/latents/{spk}/{id}.npy with keys
     tc_latent (1, Tp, D) and p_code (1, 1, Tc)."""

@@ -30,6 +30,7 @@ class Cut:
     text: str = ""
     feats_path: str = ""
     feats_offset: int = 0
+    wav_path: str = ""  # source audio (vocoder training reads raw crops)
 
     @classmethod
     def from_dict(cls, d: dict) -> "Cut":

@@ -2,7 +2,8 @@ from .adm import MegaADM, adm_infer
 from .dscrm import Discriminator, SingleWindowDisc
 from .hifigan import HiFiGAN, ResBlock1, TransposedConv1d
 from .megag import MegaG
-from .megatts import Megatts, synthesize
+from .megatts import Megatts, synthesize, vocode
+from .vocos import Vocos
 from .mrte import MRTE
 from .plm import MegaPLM, plm_infer
 from .streaming import stream_synthesize

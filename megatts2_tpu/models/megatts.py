@@ -23,7 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import HIFIGAN_HOP_LENGTH, HIFIGAN_SR
-from ..config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig
+from ..config import (
+    HiFiGANConfig,
+    MegaADMConfig,
+    MegaGConfig,
+    MegaPLMConfig,
+    VocosConfig,
+)
 from ..ops import mel_spectrogram, regulate_length
 from ..text.symbol_table import SymbolTable
 from ..text.tokenizer import TextTokenizer
@@ -36,6 +42,19 @@ from .plm import plm_infer
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def vocode(params: dict, cfg, mel: jnp.ndarray, dtype: Any) -> jnp.ndarray:
+    """mel (B, T, 80) → waveform (B, T*hop).  Dispatches on the vocoder
+    config type: :class:`HiFiGANConfig` (reference-parity, converted
+    speechbrain weights) or :class:`VocosConfig` (fast iSTFT family,
+    models/vocos.py).  The config rides through ``synthesize``'s static
+    args, so the choice is a compile-time switch, not a traced branch."""
+    if isinstance(cfg, VocosConfig):
+        from .vocos import Vocos
+
+        return Vocos(cfg, dtype=dtype).apply({"params": params}, mel)
+    return HiFiGAN(cfg, dtype=dtype).apply({"params": params}, mel)
 
 
 def max_pool_time(x: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -116,10 +135,8 @@ def synthesize(
         g_vars, tc_expand, zq, method=lambda m, a, b: m.decode_latents(a, b)
     )  # (B, Tf, 80)
 
-    # 6. vocode on-TPU
-    wav = HiFiGAN(hifi_cfg, dtype=dtype).apply(
-        {"params": hifi_params}, mel_hat.astype(jnp.float32)
-    )
+    # 6. vocode on-TPU (HiFi-GAN or Vocos, by config type)
+    wav = vocode(hifi_params, hifi_cfg, mel_hat.astype(jnp.float32), dtype)
     return wav.astype(jnp.float32), mel_hat, n_frames
 
 

@@ -31,12 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import HIFIGAN_HOP_LENGTH
-from ..config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig
+from ..config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig, VocosConfig
 from ..ops import regulate_length
 from .adm import adm_infer
-from .hifigan import HiFiGAN
 from .megag import MegaG
-from .megatts import max_pool_time
+from .megatts import max_pool_time, vocode
 from .plm import MegaPLM
 
 
@@ -50,6 +49,17 @@ def decoder_rf_frames(g_cfg: MegaGConfig) -> int:
     dilation) in mel frames."""
     n_convs = g_cfg.decoder_n_stack * g_cfg.decoder_n_block + 2
     return (g_cfg.kernel_size - 1) // 2 * n_convs
+
+
+def vocoder_rf_frames(cfg) -> int:
+    """One-sided receptive field of the vocoder in mel frames, by config
+    type.  For Vocos: embed k=7 (3) + num_layers dwconvs k=7 (3 each) for
+    the backbone, plus ``n_fft/hop - 1`` frames of iSTFT window overlap —
+    interior samples of a chunked iSTFT then see exactly the frames (and
+    the steady window envelope) the full pass sees."""
+    if isinstance(cfg, VocosConfig):
+        return 3 + 3 * cfg.num_layers + (cfg.n_fft // cfg.hop_length - 1)
+    return hifigan_rf_frames(cfg)
 
 
 def hifigan_rf_frames(cfg: HiFiGANConfig) -> int:
@@ -227,9 +237,8 @@ def emit_chunk(
 
     mv = jnp.clip(a - rv, s, s + W - (F + 2 * rv))
     mel_v = jax.lax.dynamic_slice_in_dim(mel_win, mv - s, F + 2 * rv, axis=1)
-    wav = HiFiGAN(hifi_cfg, dtype=dtype).apply(
-        {"params": hifi_params}, mel_v.astype(jnp.float32)
-    )  # (1, (F+2rv)*hop)
+    wav = vocode(hifi_params, hifi_cfg, mel_v.astype(jnp.float32), dtype)
+    # (1, (F+2rv)*hop)
     off = (a - mv) * HIFIGAN_HOP_LENGTH
     return jax.lax.dynamic_slice_in_dim(
         wav, off, F * HIFIGAN_HOP_LENGTH, axis=1
@@ -340,7 +349,7 @@ def stream_synthesize(
     dispatched (async) BEFORE chunk j's samples are pulled to the host, so
     device compute overlaps the host-side transfer."""
     F = _roundup(chunk_frames, 8)
-    rv = _roundup(hifigan_rf_frames(hifi_cfg), 8)
+    rv = _roundup(vocoder_rf_frames(hifi_cfg), 8)
     rd = _roundup(decoder_rf_frames(g_cfg), 8)
     Tmax = max(_roundup(max_frames, F), F + 2 * (rv + rd))
     Tc = Tmax // 8

@@ -145,12 +145,11 @@ def place_train_state(state: Any, mesh: Mesh, zero: bool = False) -> Any:
         updates["d_opt"] = jax.device_put(
             state.d_opt, opt_shardings(state.d_opt, state.d_params, mesh, zero=zero)
         )
-        updates["vq_stats"] = jax.device_put(
-            state.vq_stats, replicated_like(state.vq_stats, mesh)
-        )
-        updates["batch_stats"] = jax.device_put(
-            state.batch_stats, replicated_like(state.batch_stats, mesh)
-        )
+        for aux in ("vq_stats", "batch_stats"):  # absent on the vocoder state
+            if hasattr(state, aux):
+                updates[aux] = jax.device_put(
+                    getattr(state, aux), replicated_like(getattr(state, aux), mesh)
+                )
     rep = NamedSharding(mesh, P())
     for name in ("step", "rng"):
         if hasattr(state, name):

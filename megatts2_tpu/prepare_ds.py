@@ -116,6 +116,7 @@ class DatasetMaker:
             "n_samples": y.shape[-1], "n_fr": n_fr, "bucket": bucket,
             "y_pad": np.pad(y, (0, bucket - y.shape[-1])),
             "phone_tokens": phone_tokens, "duration_tokens": duration_tokens,
+            "wav_path": wav_path,
         }
 
     def make_ds(self, mel_batch: int = 8) -> None:
@@ -158,6 +159,7 @@ class DatasetMaker:
                         phone_tokens=r["phone_tokens"],
                         duration_tokens=r["duration_tokens"],
                         text=r["text"], feats_path=path, feats_offset=off,
+                        wav_path=r["wav_path"],
                     )
                 )
                 unique_symbols.update(r["phone_tokens"])
