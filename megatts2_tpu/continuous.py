@@ -33,13 +33,13 @@ import numpy as np
 
 from . import HIFIGAN_HOP_LENGTH
 from .config import HiFiGANConfig, MegaADMConfig, MegaGConfig, MegaPLMConfig
-from .models.hifigan import HiFiGAN
+from .models.megatts import vocode
 from .models.megag import MegaG
 from .models.plm import MegaPLM
 from .models.streaming import (
     _roundup,
     decoder_rf_frames,
-    hifigan_rf_frames,
+    vocoder_rf_frames,
     stream_prep,
 )
 
@@ -235,9 +235,8 @@ def emit_slots(
     mel_v = jax.vmap(
         lambda m, o: jax.lax.dynamic_slice_in_dim(m, o, F + 2 * rv, axis=0)
     )(mel_win, mv - s_vec)
-    wav = HiFiGAN(hifi_cfg, dtype=dtype).apply(
-        {"params": hifi_params}, mel_v.astype(jnp.float32)
-    )  # (S, (F+2rv)*hop)
+    wav = vocode(hifi_params, hifi_cfg, mel_v.astype(jnp.float32), dtype)
+    # (S, (F+2rv)*hop)
     off = (a_vec - mv) * HIFIGAN_HOP_LENGTH
     return jax.vmap(
         lambda w, o: jax.lax.dynamic_slice_in_dim(w, o, F * HIFIGAN_HOP_LENGTH, axis=0)
@@ -276,7 +275,7 @@ class ContinuousEngine:
         self.cfgs = (g_cfg, plm_cfg, adm_cfg, hifi_cfg)
         self.S = slots
         self.F = _roundup(chunk_frames, 8)
-        self.rv = _roundup(hifigan_rf_frames(hifi_cfg), 8)
+        self.rv = _roundup(vocoder_rf_frames(hifi_cfg), 8)
         self.rd = _roundup(decoder_rf_frames(g_cfg), 8)
         self.Tmax = max(
             _roundup(max_frames, self.F), self.F + 2 * (self.rv + self.rd)

@@ -28,6 +28,15 @@ def parse_args(argv=None):
     p.add_argument("--adm_ckpt", default=None)
     p.add_argument("--adm_config", default="configs/config_adm.yaml")
     p.add_argument("--hifigan_ckpt", default=None)
+    p.add_argument("--vocoder", choices=["hifigan", "vocos"], default="hifigan",
+                   help="vocos = the fast iSTFT vocoder family "
+                        "(models/vocos.py; train with the cli 'vocoder' stage)")
+    p.add_argument("--vocoder_ckpt", default=None,
+                   help="orbax checkpoint dir from the vocoder training "
+                        "stage (overrides --hifigan_ckpt)")
+    p.add_argument("--vocoder_config", default="configs/config_vocoder.yaml",
+                   help="config the vocoder stage was trained with "
+                        "(used when --vocoder vocos)")
     p.add_argument("--symbol_table", default="data/ds/unique_text_tokens.k2symbols")
     p.add_argument("--pinyin_dict", default=None)
     p.add_argument("--max_frames", type=int, default=2048)
@@ -94,7 +103,31 @@ def main(argv=None):
             jnp.zeros((1, 5, 1)), jnp.asarray([4]),
         )["params"]
 
-    if args.hifigan_ckpt:
+    if args.vocoder == "vocos":
+        import os
+
+        from .config import load_vocoder_config
+        from .models import Vocos
+
+        if os.path.exists(args.vocoder_config):
+            hifi_cfg, _, _ = load_vocoder_config(args.vocoder_config)
+        else:
+            from .config import VocosConfig
+
+            hifi_cfg = VocosConfig()
+        if args.vocoder_ckpt:
+            from .training.checkpoints import load_vocoder_from_orbax
+
+            hifi_params = load_vocoder_from_orbax(args.vocoder_ckpt)
+        else:
+            hifi_params = jax.jit(Vocos(hifi_cfg).init)(
+                key, jnp.zeros((1, 16, 80))
+            )["params"]
+    elif args.vocoder_ckpt:
+        from .training.checkpoints import load_vocoder_from_orbax
+
+        hifi_params = load_vocoder_from_orbax(args.vocoder_ckpt)
+    elif args.hifigan_ckpt:
         hifi_params = convert_hifigan(load_torch_state_dict(args.hifigan_ckpt), hifi_cfg)
     else:
         hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]

@@ -10,4 +10,4 @@ from .streaming import stream_synthesize
 from .vqpe import VQProsodyEncoder
 from .pretrained import (adm_from_pretrained, hifigan_from_pretrained,
                          megag_from_pretrained, megatts_from_pretrained,
-                         plm_from_pretrained)
+                         plm_from_pretrained, vocoder_from_pretrained)

@@ -85,6 +85,45 @@ def hifigan_from_pretrained(
     return cfg, convert_hifigan(load_torch_state_dict(ckpt), cfg)
 
 
+def vocoder_from_pretrained(
+    vocoder: str = "hifigan",
+    vocoder_ckpt: Optional[str] = None,
+    hifigan_ckpt: Optional[str] = None,
+    vocoder_config: Optional[str] = None,
+):
+    """→ (voc_cfg, params) for either vocoder family.  ``vocoder_ckpt`` is
+    an orbax dir from the cli 'vocoder' training stage; ``hifigan_ckpt`` a
+    torch checkpoint (speechbrain/reference lineage); neither → random
+    init (mel-faithful smoke runs, audio is noise)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import VocosConfig, load_vocoder_config
+    from .hifigan import HiFiGAN
+    from .vocos import Vocos
+
+    if vocoder == "vocos":
+        if vocoder_config and os.path.exists(vocoder_config):
+            cfg, _, _ = load_vocoder_config(vocoder_config)
+        else:
+            cfg = VocosConfig()
+        cls = Vocos
+    else:
+        cfg, cls = HiFiGANConfig(), HiFiGAN
+    if vocoder_ckpt:
+        from ..training.checkpoints import load_vocoder_from_orbax
+
+        return cfg, load_vocoder_from_orbax(vocoder_ckpt)
+    if hifigan_ckpt and vocoder == "hifigan":
+        return hifigan_from_pretrained(hifigan_ckpt, cfg)
+    params = jax.jit(cls(cfg).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, cfg.in_channels))
+    )["params"]
+    return cfg, params
+
+
 def megatts_from_pretrained(
     g_ckpt: str,
     g_config: str,
@@ -94,27 +133,22 @@ def megatts_from_pretrained(
     adm_config: str,
     symbol_table: str,
     hifigan_ckpt: Optional[str] = None,
+    vocoder: str = "hifigan",
+    vocoder_ckpt: Optional[str] = None,
+    vocoder_config: Optional[str] = None,
     **kwargs: Any,
 ):
     """Reference ``Megatts(...)`` constructor shape (megatts2.py:295-323) →
-    a ready inference driver.  Without ``hifigan_ckpt`` the vocoder is
+    a ready inference driver.  Without a vocoder checkpoint the vocoder is
     randomly initialized (outputs are mel-faithful but audio is noise)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .hifigan import HiFiGAN
     from .megatts import Megatts
 
     g_cfg, g_vars = megag_from_pretrained(g_ckpt, g_config)
     plm_cfg, plm_params = plm_from_pretrained(plm_ckpt, plm_config)
     adm_cfg, adm_params = adm_from_pretrained(adm_ckpt, adm_config)
-    if hifigan_ckpt:
-        hifi_cfg, hifi_params = hifigan_from_pretrained(hifigan_ckpt)
-    else:
-        hifi_cfg = HiFiGANConfig()
-        hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 16, hifi_cfg.in_channels))
-        )["params"]
+    hifi_cfg, hifi_params = vocoder_from_pretrained(
+        vocoder, vocoder_ckpt, hifigan_ckpt, vocoder_config
+    )
     return Megatts(
         g_vars=g_vars,
         plm_params=plm_params,

@@ -57,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--adm_ckpt", default=None)
     p.add_argument("--adm_config", default="configs/config_adm.yaml")
     p.add_argument("--hifigan_ckpt", default=None)
+    p.add_argument("--vocoder", choices=["hifigan", "vocos"], default="hifigan",
+                   help="vocos = fast iSTFT vocoder family (models/vocos.py)")
+    p.add_argument("--vocoder_ckpt", default=None,
+                   help="orbax dir from the cli 'vocoder' training stage")
+    p.add_argument("--vocoder_config", default="configs/config_vocoder.yaml")
     p.add_argument("--symbol_table", default="data/ds/unique_text_tokens.k2symbols")
     p.add_argument("--pinyin_dict", default=None)
     p.add_argument("--quant_int8", action="store_true",
@@ -97,7 +102,9 @@ def main(argv=None):
     tts = megatts_from_pretrained(
         args.g_ckpt, args.g_config, args.plm_ckpt, args.plm_config,
         args.adm_ckpt, args.adm_config, args.symbol_table,
-        hifigan_ckpt=args.hifigan_ckpt, pinyin_dict_path=args.pinyin_dict,
+        hifigan_ckpt=args.hifigan_ckpt, vocoder=args.vocoder,
+        vocoder_ckpt=args.vocoder_ckpt, vocoder_config=args.vocoder_config,
+        pinyin_dict_path=args.pinyin_dict,
         max_frames=args.max_frames, quant_int8=args.quant_int8,
         plm_temperature=args.plm_temperature, plm_top_k=args.plm_top_k,
         seed=args.seed,

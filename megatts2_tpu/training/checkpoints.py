@@ -85,6 +85,18 @@ def load_generator_from_orbax(path: str) -> dict:
     return {"params": tree["g_params"], "vq_stats": tree["vq_stats"]}
 
 
+def load_vocoder_from_orbax(path: str) -> dict:
+    """Load a VocoderTrainState checkpoint (training/vocoder_trainer.py)
+    and return the generator params (HiFi-GAN or Vocos, per the config the
+    stage was trained with)."""
+    if not os.path.basename(path).startswith("step_"):
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        path = latest
+    return restore_pytree(path)["g_params"]
+
+
 def restore_checkpoint(path: str, target: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)

@@ -102,6 +102,21 @@ def hifigan_flops(cfg: HiFiGANConfig, B: int, T: int) -> float:
     return total
 
 
+def vocos_flops(cfg, B: int, T: int) -> float:
+    """Vocos generator forward (models/vocos.py): embed conv + ConvNeXt
+    blocks (dwconv + 2 pointwise) + head Dense + irfft-as-DFT."""
+    c = cfg
+    n_freq = c.n_fft // 2 + 1
+    embed = B * T * 7 * c.in_channels * c.dim * 2
+    per_block = (
+        B * T * 7 * c.dim * 2  # depthwise k=7
+        + 2 * B * T * c.dim * c.intermediate_dim * 2  # two pointwise
+    )
+    head = B * T * c.dim * 2 * n_freq * 2
+    irfft = B * T * c.n_fft * n_freq * 2  # counted as the DFT matmul bound
+    return embed + c.num_layers * per_block + head + irfft
+
+
 def synthesis_flops(
     g_cfg: MegaGConfig,
     plm_cfg: MegaPLMConfig,
@@ -128,8 +143,11 @@ def synthesis_flops(
         max_frames, B, m.hidden_size + g_cfg.vqpe.vq_dim, g_cfg.hidden_size,
         m.mel_bins, g_cfg.decoder_n_stack, g_cfg.decoder_n_block, g_cfg.kernel_size,
     )
-    voc = hifigan_flops(hifi_cfg, B, max_frames)
-    out = {"mrte": mrte, "adm": adm, "plm": plm, "decoder": dec, "hifigan": voc}
+    if isinstance(hifi_cfg, HiFiGANConfig):
+        voc = hifigan_flops(hifi_cfg, B, max_frames)
+    else:  # VocosConfig (fast iSTFT family)
+        voc = vocos_flops(hifi_cfg, B, max_frames)
+    out = {"mrte": mrte, "adm": adm, "plm": plm, "decoder": dec, "vocoder": voc}
     out["total"] = sum(out.values())
     return out
 

@@ -146,3 +146,36 @@ class TestCascadeWithVocos:
         np.testing.assert_allclose(
             streamed, np.asarray(wav_full)[0, :total], rtol=1e-4, atol=1e-4
         )
+
+    def test_continuous_engine_with_vocos(self):
+        from megatts2_tpu.continuous import ContinuousEngine
+        from megatts2_tpu.models.megatts import synthesize
+
+        g_vars, plm_p, adm_p, voc_p, G, PLM, ADM = self._tiny()
+        rng = np.random.RandomState(2)
+        tp = 24
+        req = {
+            "id": "r0",
+            "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+            "lens": np.full((1,), tp, np.int32),
+            "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+        }
+        eng = ContinuousEngine(
+            g_vars, plm_p, adm_p, voc_p, G, PLM, ADM, TINY_VOCOS,
+            slots=1, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+        )
+        got = dict(eng.run([req]))
+        Tp = -(-tp // 16) * 16
+        phone = np.zeros((1, Tp), np.int32)
+        phone[0, :tp] = req["phone"][0]
+        wav_full, _, n_frames = synthesize(
+            g_vars, plm_p, adm_p, voc_p, G, PLM, ADM, TINY_VOCOS,
+            jnp.asarray(phone), jnp.asarray(req["lens"]),
+            jnp.asarray(req["mels_prompt"]),
+            max_frames=eng.Tmax, dtype=jnp.float32,
+        )
+        total = int(np.asarray(n_frames)[0]) * 256
+        assert got["r0"].shape[0] == total
+        np.testing.assert_allclose(
+            got["r0"], np.asarray(wav_full)[0, :total], rtol=1e-4, atol=1e-4
+        )

@@ -87,6 +87,34 @@ def section_hifigan():
         }), flush=True)
 
 
+def section_vocos():
+    """Vocos vs HiFi-GAN generator at bench geometry (B=8 x 512 frames)."""
+    from megatts2_tpu.config import VocosConfig
+    from megatts2_tpu.models.hifigan import HiFiGAN
+    from megatts2_tpu.models.vocos import Vocos
+    from megatts2_tpu.utils.flops import vocos_flops
+
+    B, T = 8, 512
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(B, T, 80).astype(np.float32))
+    for name, cfg, model_cls, fl in (
+        ("vocos", VocosConfig(), Vocos, vocos_flops(VocosConfig(), B, T)),
+        ("hifigan", HiFiGANConfig(), HiFiGAN, hifigan_flops(HiFiGANConfig(), B, T)),
+    ):
+        model = model_cls(cfg, dtype=jnp.bfloat16)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1, :8])["params"]
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+        )
+        f = scalarize(lambda p, m: model.apply({"params": p}, m))
+        dt = timeit(f, params, mel)
+        print(json.dumps({
+            "section": "vocos", "variant": name, "ms": round(dt * 1e3, 2),
+            "gflop": round(fl / 1e9, 1),
+            "mfu": round(fl / dt / PEAK_FLOPS["bf16"], 4),
+        }), flush=True)
+
+
 def section_attn(reps: int = 20):
     """Flash vs einsum attention at PLM-layer shapes.  Sub-10ms kernels are
     far below the ~75ms tunnel dispatch jitter, so each measurement runs
@@ -415,15 +443,16 @@ def section_buckets():
     }), flush=True)
 
 
-def _time_cascade(max_frames: int = 512, quant: bool = False):
-    from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+def _time_cascade(max_frames: int = 512, quant: bool = False, vocoder: str = "hifigan"):
+    from megatts2_tpu.config import VocosConfig
+    from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM, Vocos
     from megatts2_tpu.models.megatts import synthesize
 
     B, Tp, Tm = 8, 64, 512
     g_cfg = MegaGConfig()
     plm_cfg = MegaPLMConfig()
     adm_cfg = MegaADMConfig(tc_emb_dim=512)
-    hifi_cfg = HiFiGANConfig()
+    hifi_cfg = HiFiGANConfig() if vocoder == "hifigan" else VocosConfig()
     key = jax.random.PRNGKey(0)
     g_vars = jax.jit(MegaG(g_cfg).init)(
         {"params": key, "vq": key},
@@ -436,7 +465,8 @@ def _time_cascade(max_frames: int = 512, quant: bool = False):
     adm_params = jax.jit(MegaADM(adm_cfg).init)(
         key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
     )["params"]
-    hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
+    voc_cls = HiFiGAN if vocoder == "hifigan" else Vocos
+    hifi_params = jax.jit(voc_cls(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
@@ -478,14 +508,21 @@ def section_cascade():
         MegaGConfig(), MegaPLMConfig(), MegaADMConfig(tc_emb_dim=512),
         HiFiGANConfig(), B, Tp, Tm, max_frames,
     )
-    for quant in (False, True):
-        dt = _time_cascade(max_frames, quant=quant)
+    from megatts2_tpu.config import VocosConfig
+
+    fl_vocos = synthesis_flops(
+        MegaGConfig(), MegaPLMConfig(), MegaADMConfig(tc_emb_dim=512),
+        VocosConfig(), B, Tp, Tm, max_frames,
+    )
+    for quant, vocoder in ((False, "hifigan"), (True, "hifigan"), (True, "vocos")):
+        f = fl_vocos if vocoder == "vocos" else fl
+        dt = _time_cascade(max_frames, quant=quant, vocoder=vocoder)
         print(json.dumps({
-            "section": "cascade", "B": B, "quant_int8": quant,
+            "section": "cascade", "B": B, "quant_int8": quant, "vocoder": vocoder,
             "ms": round(dt * 1e3, 1),
-            "gflop_total": round(fl["total"] / 1e9, 1),
-            "stage_gflop": {k: round(v / 1e9, 1) for k, v in fl.items() if k != "total"},
-            "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
+            "gflop_total": round(f["total"] / 1e9, 1),
+            "stage_gflop": {k: round(v / 1e9, 1) for k, v in f.items() if k != "total"},
+            "mfu": round(f["total"] / dt / PEAK_FLOPS["bf16"], 4),
         }), flush=True)
 
 
