@@ -93,6 +93,14 @@ class GANBatchBuilder:
         self.n_same_spk_samples = n_same_spk_samples
         self.rng = np.random.RandomState(seed)
         self.max_timbre_frames = max_timbre_frames
+        self._ring = None  # lazy native prefetch ring (resized on demand)
+
+    def _get_ring(self, need_floats: int):
+        if self._ring is None or self._ring.max_floats < need_floats:
+            if self._ring is not None:
+                self._ring.close()
+            self._ring = self.native.ring_create(2, need_floats)
+        return self._ring
 
     def _read_mel(self, cut) -> np.ndarray:
         return self.reader.read(cut.feats_path, cut.feats_offset, cut.num_frames)
@@ -108,14 +116,18 @@ class GANBatchBuilder:
         T = max(int(tgt_lens.max()), 128)
         T = round_up(T, MEL_PAD_MULTIPLE)
         same_shard = len({c.feats_path for c in cuts}) == 1
+        ticket = -1
         if self.native is not None and same_shard:
-            mel_targets = self.native.read_batch(
+            # async: the C++ pool fills the padded target batch while this
+            # thread assembles timbre mels below (prefetch-ring overlap)
+            ring = self._get_ring(len(cuts) * T * 80)
+            ticket = ring.submit(
                 cuts[0].feats_path,
                 [c.feats_offset for c in cuts],
                 tgt_lens.tolist(),
                 T,
             )
-        else:
+        if ticket < 0:
             mel_targets = np.zeros((len(cuts), T, 80), np.float32)
             for i, c in enumerate(cuts):
                 mel_targets[i, : tgt_lens[i]] = self._read_mel(c)[: tgt_lens[i]]
@@ -152,6 +164,10 @@ class GANBatchBuilder:
         else:  # tiny corpora: round down to the phone multiple as before
             tmin = max(tmin - tmin % PHONE_PAD_MULTIPLE, PHONE_PAD_MULTIPLE)
         mel_timbres = np.stack([m[:tmin] for m in timbres]).astype(np.float32)
+
+        if ticket >= 0:  # collect the async target fill
+            mel_targets = self._ring.wait(ticket, len(cuts), T)
+            self._ring.release(ticket)
 
         return {
             "phone_tokens": phones,

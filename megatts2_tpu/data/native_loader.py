@@ -70,6 +70,19 @@ def load_library(build_if_missing: Optional[bool] = None) -> Optional[ctypes.CDL
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
     ]
     lib.mtl_version.restype = ctypes.c_int32
+    lib.mtl_ring_create.restype = ctypes.c_void_p
+    lib.mtl_ring_create.argtypes = [ctypes.c_int32, ctypes.c_int64]
+    lib.mtl_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.mtl_ring_submit.restype = ctypes.c_int32
+    lib.mtl_ring_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.mtl_ring_wait.restype = ctypes.POINTER(ctypes.c_float)
+    lib.mtl_ring_wait.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.mtl_ring_release.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -147,10 +160,74 @@ class NativeFeatureReader:
             raise ValueError(f"mtl_concat_slices error {written}")
         return out[:written]
 
+    # ---- async prefetch ring ------------------------------------------
+    def ring_create(self, slots: int, max_floats: int) -> "BatchRing":
+        """A bounded ring of native batch buffers: ``submit`` starts a
+        padded-batch gather on the C++ worker pool and returns immediately;
+        the caller overlaps other host work (timbre assembly, collation)
+        and ``wait``s only when it needs the array."""
+        return BatchRing(self, slots, max_floats)
+
     def close(self):
         for h in self._handles.values():
             self._lib.mtl_close_shard(h)
         self._handles.clear()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class BatchRing:
+    """ctypes handle for the native async prefetch ring (dataloader.cpp
+    ``mtl_ring_*``).  Typical use inside a batch builder::
+
+        t = ring.submit(path, offsets, lens, pad_to)   # async fill starts
+        ...assemble the rest of the batch on the host...
+        mel = ring.wait(t, n, pad_to)                  # blocks only if slow
+        ring.release(t)
+    """
+
+    def __init__(self, reader: NativeFeatureReader, slots: int, max_floats: int):
+        self._reader = reader
+        self._lib = reader._lib
+        self._h = self._lib.mtl_ring_create(slots, max_floats)
+        if not self._h:
+            raise RuntimeError("mtl_ring_create failed")
+        self.max_floats = max_floats
+
+    def submit(self, path: str, offsets: Sequence[int], lens: Sequence[int],
+               pad_to: int) -> int:
+        shard = self._reader._get(path)
+        self._dim = self._reader._meta[path]["dim"]
+        t = self._lib.mtl_ring_submit(
+            self._h, shard,
+            np.ascontiguousarray(offsets, np.int64),
+            np.ascontiguousarray(lens, np.int32),
+            len(offsets), pad_to,
+        )
+        if t == -2:
+            raise ValueError("mtl_ring_submit: bad slice or buffer too small")
+        return t  # -1 = all slots busy (caller falls back or waits)
+
+    def wait(self, ticket: int, n: int, pad_to: int) -> np.ndarray:
+        """→ (n, pad_to, dim) float32 COPY of the slot buffer (the slot can
+        be released immediately after)."""
+        ptr = self._lib.mtl_ring_wait(self._h, ticket)
+        if not ptr:
+            raise ValueError(f"mtl_ring_wait: bad ticket {ticket}")
+        flat = np.ctypeslib.as_array(ptr, shape=(n * pad_to * self._dim,))
+        return flat.reshape(n, pad_to, self._dim).copy()
+
+    def release(self, ticket: int) -> None:
+        self._lib.mtl_ring_release(self._h, ticket)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.mtl_ring_destroy(self._h)
+            self._h = None
 
     def __del__(self):  # pragma: no cover
         try:

@@ -210,5 +210,125 @@ int32_t mtl_concat_slices(void* handle, const int64_t* offsets,
   return written;
 }
 
-int32_t mtl_version() { return 1; }
+}  // extern "C"
+
+// ---- async prefetch ring ---------------------------------------------------
+//
+// A bounded ring of preallocated batch buffers.  mtl_ring_submit enqueues a
+// padded-batch gather (same semantics as mtl_fill_batch) that the worker
+// pool fills asynchronously — the caller overlaps Python-side batch
+// assembly (timbre concat, token collation) with the copy/f16-convert work,
+// then blocks in mtl_ring_wait only if the fill is still in flight.
+// Tickets are slot indices; a slot is reusable after mtl_ring_release.
+
+namespace {
+
+struct RingSlot {
+  std::vector<float> buf;
+  std::vector<int64_t> offsets;
+  std::vector<int32_t> lens;
+  std::atomic<int32_t> remaining{0};
+  bool busy = false;  // guarded by Ring::mu
+  int32_t rc = 0;
+};
+
+struct Ring {
+  std::vector<RingSlot> slots;
+  std::mutex mu;
+  std::condition_variable cv;
+  explicit Ring(int32_t n, size_t max_floats) : slots(n) {
+    for (auto& s : slots) s.buf.resize(max_floats);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mtl_ring_create(int32_t n_slots, int64_t max_floats) {
+  if (n_slots < 1 || max_floats < 1) return nullptr;
+  return new Ring(n_slots, (size_t)max_floats);
+}
+
+void mtl_ring_destroy(void* rh) {
+  Ring* r = (Ring*)rh;
+  if (!r) return;
+  {  // drain: wait for all in-flight fills before freeing buffers
+    std::unique_lock<std::mutex> lk(r->mu);
+    r->cv.wait(lk, [r] {
+      for (auto& s : r->slots)
+        if (s.busy && s.remaining.load() != 0) return false;
+      return true;
+    });
+  }
+  delete r;
+}
+
+// Submit an async padded-batch gather into a free slot.  Returns the slot
+// ticket (>=0), or -1 if every slot is busy (caller: wait+release one), or
+// -2 on validation error.
+int32_t mtl_ring_submit(void* rh, void* shard_handle, const int64_t* offsets,
+                        const int32_t* lens, int32_t n, int32_t T) {
+  Ring* r = (Ring*)rh;
+  Shard* s = (Shard*)shard_handle;
+  if (!r || !s) return -2;
+  const int32_t dim = s->dim;
+  if ((size_t)n * T * dim > r->slots[0].buf.size()) return -2;
+  for (int32_t b = 0; b < n; ++b)
+    if (offsets[b] + lens[b] > s->frames || lens[b] > T) return -2;
+
+  int32_t ticket = -1;
+  {
+    std::lock_guard<std::mutex> lk(r->mu);
+    for (int32_t i = 0; i < (int32_t)r->slots.size(); ++i) {
+      if (!r->slots[i].busy) {
+        ticket = i;
+        r->slots[i].busy = true;
+        break;
+      }
+    }
+  }
+  if (ticket < 0) return -1;
+
+  RingSlot& slot = r->slots[ticket];
+  slot.offsets.assign(offsets, offsets + n);  // job owns its index arrays
+  slot.lens.assign(lens, lens + n);
+  slot.rc = 0;
+  slot.remaining.store(n, std::memory_order_release);
+  for (int32_t b = 0; b < n; ++b) {
+    float* dst = slot.buf.data() + (size_t)b * T * dim;
+    Ring* rp = r;
+    RingSlot* sp = &slot;
+    int32_t bb = b;
+    pool().run([s, sp, rp, bb, T, dst] {
+      copy_item(s, sp->offsets[bb], sp->lens[bb], T, dst);
+      if (sp->remaining.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+        std::lock_guard<std::mutex> lk(rp->mu);
+        rp->cv.notify_all();
+      }
+    });
+  }
+  return ticket;
+}
+
+// Block until the ticket's fill completes; returns the buffer pointer
+// (valid until mtl_ring_release of the same ticket), or NULL on bad ticket.
+float* mtl_ring_wait(void* rh, int32_t ticket) {
+  Ring* r = (Ring*)rh;
+  if (!r || ticket < 0 || ticket >= (int32_t)r->slots.size()) return nullptr;
+  RingSlot& slot = r->slots[ticket];
+  std::unique_lock<std::mutex> lk(r->mu);
+  if (!slot.busy) return nullptr;
+  r->cv.wait(lk, [&slot] { return slot.remaining.load(std::memory_order_acquire) == 0; });
+  return slot.buf.data();
+}
+
+void mtl_ring_release(void* rh, int32_t ticket) {
+  Ring* r = (Ring*)rh;
+  if (!r || ticket < 0 || ticket >= (int32_t)r->slots.size()) return;
+  std::lock_guard<std::mutex> lk(r->mu);
+  r->slots[ticket].busy = false;
+}
+
+int32_t mtl_version() { return 2; }
 }
