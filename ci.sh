@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# CI recipe — deterministic, CPU-only (tests force jax_platforms=cpu and a
+# virtual 8-device mesh in tests/conftest.py; no TPU or GPU needed).
+#
+#   ./ci.sh          # lint-ish import check, native build, full test suite
+#   ./ci.sh quick    # skip the slowest (e2e/sharding) test modules
+#
+# Mirrors what a GitHub Actions job would run (see .github/workflows/ci.yml).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== native library =="
+make -C native
+
+echo "== import check =="
+python - <<'EOF'
+import megatts2_tpu
+import megatts2_tpu.cli, megatts2_tpu.infer, megatts2_tpu.serve
+import megatts2_tpu.prepare_ds, megatts2_tpu.continuous
+print("imports ok", megatts2_tpu.__name__)
+EOF
+
+echo "== pytest =="
+if [ "${1:-}" = "quick" ]; then
+  python -m pytest tests/ -x -q \
+    --ignore tests/test_e2e.py --ignore tests/test_sharding.py
+else
+  python -m pytest tests/ -x -q
+fi
