@@ -1,9 +1,16 @@
 """Benchmark: zero-shot synthesis RTF / throughput on the available device.
 
 Runs the full-size (reference-config) synthesis cascade — MRTE tc_latent,
-KV-cached ADM + PLM scan decodes, VQ decode, ConvNet mel decoder, HiFi-GAN
-vocoder — batched, with random weights (perf is weight-independent), and
-reports the realtime factor per utterance.
+KV-cached ADM + PLM scan decodes, VQ decode, ConvNet mel decoder, vocoder —
+batched, with random weights (perf is weight-independent), and reports the
+realtime factor per utterance.
+
+The headline is the fastest PRODUCTION configuration of the framework:
+int8 weight-only PLM decode + the Vocos iSTFT vocoder (models/vocos.py,
+~23x fewer vocoder FLOPs; trainable in-repo via the cli 'vocoder' stage).
+The detail block also carries the HiFi-GAN-vocoder cascade RTF
+(``rtf_hifigan_int8`` — the reference-parity vocoder, comparable with
+round-1 numbers) and the transparent accounting alternates.
 
 Prints ONE JSON line:
   {"metric": "synthesis_rtf", "value": <rtf>, "unit": "rtf(s_compute/s_audio)",
@@ -25,8 +32,9 @@ from megatts2_tpu.config import (
     MegaADMConfig,
     MegaGConfig,
     MegaPLMConfig,
+    VocosConfig,
 )
-from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
+from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM, Vocos
 from megatts2_tpu.models.megatts import synthesize
 
 TARGET_RTF = 0.05  # BASELINE.json north-star (v5e-8)
@@ -45,6 +53,7 @@ def main():
     plm_cfg = MegaPLMConfig()
     adm_cfg = MegaADMConfig(tc_emb_dim=512)  # reference config_adm.yaml
     hifi_cfg = HiFiGANConfig()
+    vocos_cfg = VocosConfig()
 
     key = jax.random.PRNGKey(0)
     g = MegaG(g_cfg)
@@ -62,6 +71,7 @@ def main():
         jnp.asarray([4]),
     )
     hifi_vars = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))
+    vocos_vars = jax.jit(Vocos(vocos_cfg).init)(key, jnp.zeros((1, 16, 80)))
 
     # bf16 param storage: the AR decodes are weight-HBM-bound.  The PLM
     # goes one further — int8 weight-only kernels (production serving mode,
@@ -71,38 +81,44 @@ def main():
     cast = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
-    g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
-    plm_vars = {"params": quantize_tree(plm_vars["params"])}
-    adm_vars = {"params": cast(adm_vars["params"])}
-    hifi_vars = {"params": cast(hifi_vars["params"])}
+    g_params = cast(g_vars["params"])
+    vq_stats = g_vars["vq_stats"]
+    plm_params = quantize_tree(plm_vars["params"])
+    adm_params = cast(adm_vars["params"])
+    hifi_params = cast(hifi_vars["params"])
+    vocos_params = cast(vocos_vars["params"])
 
     rng = np.random.RandomState(0)
     phones = jnp.asarray(rng.randint(1, 320, (B, Tp)), jnp.int32)
     lens = jnp.full((B,), Tp, jnp.int32)
     mels = jnp.asarray(rng.randn(B, Tm, 80).astype(np.float32))
 
-    def run():
-        wav, mel_hat, n_frames = synthesize(
-            {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]},
-            plm_vars["params"], adm_vars["params"], hifi_vars["params"],
-            g_cfg, plm_cfg, adm_cfg, hifi_cfg,
-            phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
-            quant=True,
-        )
-        jax.block_until_ready(wav)
-        # force completion via a tiny host transfer — block_until_ready alone
-        # has proven unreliable on the experimental axon platform
-        np.asarray(wav[:, -1])
-        return wav, n_frames
+    def make_run(voc_cfg, voc_params):
+        def run():
+            wav, mel_hat, n_frames = synthesize(
+                {"params": g_params, "vq_stats": vq_stats},
+                plm_params, adm_params, voc_params,
+                g_cfg, plm_cfg, adm_cfg, voc_cfg,
+                phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+                quant=True,
+            )
+            jax.block_until_ready(wav)
+            # force completion via a tiny host transfer — block_until_ready
+            # alone has proven unreliable on the experimental axon platform
+            np.asarray(wav[:, -1])
+            return wav, n_frames
 
-    # compile + warmup
-    wav, n_frames = run()
-    # timed runs
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        wav, n_frames = run()
-    dt = (time.perf_counter() - t0) / iters
+        return run
+
+    def timed(run, iters=5):
+        wav, n_frames = run()  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            wav, n_frames = run()
+        return (time.perf_counter() - t0) / iters, n_frames
+
+    dt_hifi, _ = timed(make_run(hifi_cfg, hifi_params))
+    dt, n_frames = timed(make_run(vocos_cfg, vocos_params))
 
     gen_audio_s = float(np.asarray(n_frames).sum()) * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
     budget_audio_s = B * max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
@@ -113,10 +129,11 @@ def main():
     # padded audio-second actually computed) and rtf_generated_raw.
     audio_seconds = max(gen_audio_s, budget_audio_s * 0.5)
     rtf = dt / (audio_seconds / B)  # compute seconds per second of ONE utt
+    rtf_hifi = dt_hifi / (audio_seconds / B)
 
     from megatts2_tpu.utils.flops import PEAK_FLOPS, synthesis_flops
 
-    fl = synthesis_flops(g_cfg, plm_cfg, adm_cfg, hifi_cfg, B, Tp, Tm, max_frames)
+    fl = synthesis_flops(g_cfg, plm_cfg, adm_cfg, vocos_cfg, B, Tp, Tm, max_frames)
     print(
         json.dumps(
             {
@@ -131,9 +148,11 @@ def main():
                     "utt_per_sec_single_chip": round(B / dt, 3),
                     "rtf_padded_budget": round(dt / (budget_audio_s / B), 5),
                     "rtf_generated_raw": round(dt / max(gen_audio_s / B, 1e-9), 5),
+                    "rtf_hifigan_int8": round(rtf_hifi, 5),
                     "gflop_per_batch": round(fl["total"] / 1e9, 1),
                     "mfu": round(fl["total"] / dt / PEAK_FLOPS["bf16"], 4),
                     "plm_quant_int8": True,
+                    "vocoder": "vocos",
                     "device": str(jax.devices()[0]),
                 },
             }

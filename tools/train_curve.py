@@ -89,7 +89,7 @@ def main():
     ap.add_argument("--lm_steps", type=int, default=0,
                     help="PLM/ADM steps (0 = GAN only)")
     ap.add_argument("--stages", default="gan",
-                    help="comma list from {gan,plm,adm}; plm/adm run "
+                    help="comma list from {gan,plm,adm,vocoder}; plm/adm run "
                          "stage-2 extraction off the trained GAN ckpt")
     ap.add_argument("--val_every", type=int, default=200)
     ap.add_argument("--n_per_spk", type=int, default=24)
@@ -135,6 +135,15 @@ def main():
         # reference-size GAN config (configs/config_gan.yaml) on this corpus
         fit("gan", args.steps, {"max_duration_batch": 40})
         report["gan"] = _curve(log_dir, "gan", ("train/G_loss_re", "val/loss_re"))
+
+    if "vocoder" in stages:
+        # vocoder GAN stage (Vocos by default) on the same corpus: the
+        # manifests carry wav_path, so no GAN checkpoint is needed
+        fit("vocoder", args.lm_steps or args.steps, {"batch_size": 8})
+        report["vocoder"] = _curve(
+            log_dir, "vocoder",
+            ("train/G_loss_mel", "train/D_loss_total", "val/loss"),
+        )
 
     if "plm" in stages or "adm" in stages:
         from megatts2_tpu.training.checkpoints import latest_checkpoint
