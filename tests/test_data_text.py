@@ -295,3 +295,69 @@ class TestBatchDivisor:
         b = list(DurationBucketSampler(m, max_duration_batch=8.0, num_buckets=1, seed=1,
                                        batch_divisor=1))
         assert a == b
+
+
+class TestVocoderBatchBuilder:
+    def test_crops_and_pads(self, tmp_path):
+        from megatts2_tpu.data import VocoderBatchBuilder
+        from megatts2_tpu.utils.audio import save_wav
+
+        rng = np.random.RandomState(0)
+        cuts = []
+        for i, n in enumerate((40960, 1000)):  # one long, one shorter than crop
+            wp = str(tmp_path / f"w{i}.wav")
+            save_wav(wp, (0.1 * rng.randn(n)).astype(np.float32))
+            cuts.append(
+                Cut(f"c{i}", "spk0", n / 16000, n // 256, ["a"], [4], "",
+                    "", 0, wav_path=wp)
+            )
+        b = VocoderBatchBuilder(CutManifest(cuts), str(tmp_path),
+                                segment_frames=8, seed=1)
+        out = b([0, 1])
+        assert out["wav"].shape == (2, 8 * 256)
+        assert np.abs(out["wav"][0]).sum() > 0
+        # the short utterance is zero-padded past its length
+        assert np.abs(out["wav"][1, 1000:]).sum() == 0
+        # crops are random but seeded-reproducible
+        b2 = VocoderBatchBuilder(CutManifest(cuts), str(tmp_path),
+                                 segment_frames=8, seed=1)
+        np.testing.assert_array_equal(out["wav"], b2([0, 1])["wav"])
+
+
+class TestPrepareDsStage1:
+    def test_stage1_records_wav_path(self, tmp_path):
+        """make_ds writes manifests whose cuts carry wav_path (vocoder
+        training reads raw audio from it)."""
+        import jax
+
+        from megatts2_tpu.prepare_ds import main as prep_main
+        from megatts2_tpu.utils.audio import save_wav
+
+        wavs = tmp_path / "wavs" / "spk0"
+        tgs = tmp_path / "tg" / "spk0"
+        ds = str(tmp_path / "ds")
+        wavs.mkdir(parents=True)
+        tgs.mkdir(parents=True)
+        for i in range(2):
+            n = 16000
+            t = np.arange(n) / 16000
+            save_wav(str(wavs / f"u{i}.wav"),
+                     (0.2 * np.sin(2 * np.pi * 200 * t)).astype(np.float32))
+            (wavs / f"u{i}.txt").write_text("hello")
+            (tgs / f"u{i}.TextGrid").write_text(
+                'File type = "ooTextFile"\nObject class = "TextGrid"\n'
+                "xmin = 0\nxmax = 1.0\ntiers? <exists>\nsize = 1\nitem []:\n"
+                "    item [1]:\n"
+                '        class = "IntervalTier"\n        name = "phones"\n'
+                "        xmin = 0\n        xmax = 1.0\n"
+                "        intervals: size = 1\n"
+                "        intervals [1]:\n            xmin = 0\n"
+                '            xmax = 1.0\n            text = "h"\n'
+            )
+        prep_main(["--stage", "1", "--wavtxt_path", str(tmp_path / "wavs"),
+                   "--text_grid_path", str(tmp_path / "tg"), "--ds_path", ds,
+                   "--test_set_ratio", "0.5", "--num_workers", "1"])
+        m = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
+        assert len(m) >= 1
+        for c in m:
+            assert c.wav_path.endswith(f"{c.id}.wav") and os.path.exists(c.wav_path)
