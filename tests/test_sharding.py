@@ -319,3 +319,47 @@ class TestGANShardedEquivalence:
             if hasattr(l, "sharding") and l.sharding.spec != P()
         ]
         assert sharded_moments, "ZeRO-1 sharded no optimizer moments"
+
+
+class TestVocoderShardedEquivalence:
+    def test_dp_vocoder_step_matches_single_device(self, devices):
+        """One vocoder GAN train step, batch DP-sharded over the 8-device
+        mesh, must match the unsharded step (losses + updated generator)."""
+        from megatts2_tpu.config import (
+            VocoderTrainConfig,
+            VocosConfig,
+            WaveDiscConfig,
+        )
+        from megatts2_tpu.parallel import place_train_state
+        from megatts2_tpu.training import (
+            create_vocoder_state,
+            make_vocoder_train_step,
+        )
+
+        voc_cfg = VocosConfig(dim=16, intermediate_dim=32, num_layers=1)
+        d_cfg = WaveDiscConfig(
+            periods=(2, 3), msd_scales=1, mpd_base_ch=4, msd_base_ch=4, max_ch=8
+        )
+        tcfg = VocoderTrainConfig(segment_frames=8, train_dtype="float32")
+        rng = np.random.RandomState(0)
+        batch = {"wav": rng.randn(8, 8 * 256).astype(np.float32)}
+        state, g_tx, d_tx = create_vocoder_state(
+            jax.random.PRNGKey(0), voc_cfg, d_cfg, tcfg, batch
+        )
+        step = make_vocoder_train_step(voc_cfg, d_cfg, tcfg, g_tx, d_tx)
+        ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+        mesh = make_mesh(n_model=2)
+        with mesh:
+            sh_state = place_train_state(state, mesh, zero=True)
+            sh_new, sh_metrics = jax.jit(step)(sh_state, shard_batch(batch, mesh))
+        for k in ref_metrics:
+            np.testing.assert_allclose(
+                float(np.asarray(ref_metrics[k])), float(np.asarray(sh_metrics[k])),
+                rtol=2e-4, atol=1e-5, err_msg=k,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_state.g_params),
+            jax.tree_util.tree_leaves(sh_new.g_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
