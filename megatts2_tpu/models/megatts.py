@@ -189,7 +189,13 @@ class Megatts:
                 # int8 kernels already carry the traffic win)
                 plm_params = cast(plm_params)
             adm_params = cast(adm_params)
-            hifi_params = cast(hifi_params)
+            if isinstance(hifi_cfg, VocosConfig) and "head" in hifi_params:
+                # the Vocos iSTFT head computes in fp32 (phase is
+                # precision-sensitive); keep its stored params fp32 too
+                head = hifi_params["head"]
+                hifi_params = {**cast(hifi_params), "head": head}
+            else:
+                hifi_params = cast(hifi_params)
             g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
         self.g_vars = g_vars
         self.plm_params = plm_params
