@@ -197,4 +197,29 @@ cli_main(["fit", "-c", cfg_plm, "--log_dir", os.path.join(root, "logs"),
           "--ckpt_dir", os.path.join(ckdir, "plm")])
 mark("PLM training ok")
 
+# --- vocoder training (Vocos family, raw-wav crops) --------------------
+cfg_voc = os.path.join(root, "voc.yaml")
+open(cfg_voc, "w").write(f"""
+trainer:
+  max_steps: 2
+  log_every_n_steps: 1
+  val_check_interval: 2
+model:
+  vocoder:
+    family: vocos
+    init_args: {{dim: 16, intermediate_dim: 32, num_layers: 1}}
+  D: {{periods: [2], msd_scales: 1, mpd_base_ch: 4, msd_base_ch: 4, max_ch: 8}}
+  initial_learning_rate: 1.0e-4
+  segment_frames: 8
+  train_dtype: float32
+data:
+  ds_path: {ds}/
+  batch_size: 2
+  min_duration: 0.5
+  max_duration: 20
+""")
+cli_main(["fit", "-c", cfg_voc, "--log_dir", os.path.join(root, "logs"),
+          "--ckpt_dir", os.path.join(ckdir, "vocoder")])
+mark("vocoder training ok")
+
 print("PIPELINE PASS; root =", root)
