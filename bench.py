@@ -117,8 +117,28 @@ def main():
             wav, n_frames = run()
         return (time.perf_counter() - t0) / iters, n_frames
 
+    def timed_pipelined(voc_cfg, voc_params, iters=5):
+        """Throughput accounting: dispatch every batch before syncing —
+        device batches execute back-to-back and the ~75 ms tunnel round
+        trip on this target is paid once, not per batch (what a pipelined
+        server, e.g. the continuous engine, actually achieves)."""
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            wav, _, _ = synthesize(
+                {"params": g_params, "vq_stats": vq_stats},
+                plm_params, adm_params, voc_params,
+                g_cfg, plm_cfg, adm_cfg, voc_cfg,
+                phones, lens, mels, max_frames=max_frames, dtype=jnp.bfloat16,
+                quant=True,
+            )
+            outs.append(wav)
+        np.asarray(outs[-1][:, -1])  # one sync for the whole chain
+        return (time.perf_counter() - t0) / iters
+
     dt_hifi, _ = timed(make_run(hifi_cfg, hifi_params))
     dt, n_frames = timed(make_run(vocos_cfg, vocos_params))
+    dt_pipe = timed_pipelined(vocos_cfg, vocos_params)
 
     gen_audio_s = float(np.asarray(n_frames).sum()) * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
     budget_audio_s = B * max_frames * HIFIGAN_HOP_LENGTH / HIFIGAN_SR
@@ -146,6 +166,8 @@ def main():
                     "batch_wall_s": round(dt, 4),
                     "audio_s_total": round(audio_seconds, 2),
                     "utt_per_sec_single_chip": round(B / dt, 3),
+                    "utt_per_sec_pipelined": round(B / dt_pipe, 3),
+                    "rtf_pipelined": round(dt_pipe / (audio_seconds / B), 5),
                     "rtf_padded_budget": round(dt / (budget_audio_s / B), 5),
                     "rtf_generated_raw": round(dt / max(gen_audio_s / B, 1e-9), 5),
                     "rtf_hifigan_int8": round(rtf_hifi, 5),
