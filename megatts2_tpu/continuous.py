@@ -365,8 +365,20 @@ class ContinuousEngine:
             self.slot_codes[slot] = 0
 
     def run(self, requests: List[dict]) -> Iterator[Tuple[Any, np.ndarray]]:
-        """Drive the engine over a request list, yielding ``(id, wav)`` in
-        completion order.
+        """Drive the engine over a fixed request list, yielding
+        ``(id, wav)`` in completion order (see ``_run``)."""
+        yield from self._run(list(requests), live=None)
+
+    def run_live(self, rq, stop) -> Iterator[Tuple[Any, np.ndarray]]:
+        """Long-running serving loop: requests arrive on a
+        ``queue.Queue`` (``rq``) while the engine runs; admitted into free
+        slots at the next tick boundary.  Ends when ``stop`` (a
+        ``threading.Event``) is set AND all in-flight work has drained.
+        Used by ``serve.py --http``."""
+        yield from self._run([], live=(rq, stop))
+
+    def _run(self, queue: List[dict], live) -> Iterator[Tuple[Any, np.ndarray]]:
+        """Core loop, yielding ``(id, wav)`` in completion order.
 
         Transfer/compute overlap: each tick's emitted chunks stay ON
         DEVICE while the next admission+tick dispatch; the previous tick's
@@ -377,7 +389,6 @@ class ContinuousEngine:
         dependency)."""
         g_vars, plm_params, _, hifi_params = self.params
         g_cfg, plm_cfg, _, hifi_cfg = self.cfgs
-        queue = list(requests)
         bufs: Dict[int, List[np.ndarray]] = {}
         totals: Dict[int, int] = {}
         Cc = self.F // 8
@@ -398,7 +409,32 @@ class ContinuousEngine:
                     totals.pop(id(req))
                     yield req["id"], np.concatenate(bufs.pop(id(req)))
 
-        while queue or live_slots() or pending:
+        def drain_live() -> bool:
+            """Move arrived requests into ``queue``; True while the live
+            source may still produce more."""
+            if live is None:
+                return False
+            rq, stop = live
+            while True:
+                try:
+                    queue.append(rq.get_nowait())
+                except Exception:
+                    break
+            return not stop.is_set()
+
+        more = drain_live()
+        while queue or live_slots() or pending or more:
+            more = drain_live()
+            if live is not None and not queue and not live_slots() and not pending:
+                # idle serving loop: block briefly for the next request
+                # instead of spinning
+                rq, stop = live
+                try:
+                    queue.append(rq.get(timeout=0.05))
+                except Exception:
+                    pass  # timeout — loop around and re-check stop
+                if not queue:
+                    continue
             # fill free slots (one batched admission per loop)
             pairs = []
             for s in range(self.S):

@@ -39,8 +39,9 @@ def pick_bucket(n_phones: int, frames_per_phone: float, buckets: list) -> int:
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="megatts2_tpu batch serving")
-    p.add_argument("--requests", required=True, help="JSONL of {id, text, wavs_dir}")
-    p.add_argument("--out_dir", required=True)
+    p.add_argument("--requests", default=None,
+                   help="JSONL of {id, text, wavs_dir} (batch modes)")
+    p.add_argument("--out_dir", default=None, help="wav output dir (batch modes)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_frames", type=int, default=1024)
     p.add_argument("--buckets", default="256,512,1024,2048",
@@ -72,6 +73,12 @@ def parse_args(argv=None):
                    help=">0: sample prosody codes instead of greedy argmax")
     p.add_argument("--plm_top_k", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="run a live HTTP server instead of batch mode: "
+                        "POST /synthesize {text, wavs_dir} -> audio/wav; "
+                        "requests are admitted into the continuous engine "
+                        "while it runs (iteration-level scheduling)")
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--continuous", action="store_true",
                    help="continuous-batching engine (slot-based; admits "
                         "requests at chunk boundaries) instead of bucketed "
@@ -81,6 +88,123 @@ def parse_args(argv=None):
     p.add_argument("--chunk_frames", type=int, default=128,
                    help="emit granularity for --continuous")
     return p.parse_args(argv)
+
+
+def run_http(args, tts, _ready_cb=None):
+    """Live HTTP serving on the continuous-batching engine.
+
+    ``POST /synthesize`` with JSON ``{"text": ..., "wavs_dir": ...}``
+    returns ``audio/wav`` bytes; ``GET /healthz`` returns 200.  Requests
+    are admitted into free engine slots at the next tick boundary while
+    other requests keep decoding — LLM-server iteration-level scheduling
+    for the TTS cascade (continuous.py).  No reference counterpart (the
+    reference has no serving at all).
+
+    ``_ready_cb(server)`` is a test hook called once the socket is bound
+    (the test drives requests then shuts the server down)."""
+    import queue as qmod
+    import threading
+    import uuid
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax.numpy as jnp
+
+    from . import HIFIGAN_SR
+    from .continuous import ContinuousEngine
+    from .ops import mel_spectrogram
+    from .utils.audio import load_wav, peak_normalize, wav_bytes
+
+    eng = ContinuousEngine(
+        tts.g_vars, tts.plm_params, tts.adm_params, tts.hifi_params,
+        tts.g_cfg, tts.plm_cfg, tts.adm_cfg, tts.hifi_cfg,
+        slots=args.slots, max_frames=args.max_frames,
+        chunk_frames=args.chunk_frames, dtype=tts.dtype,
+        quant=args.quant_int8,
+    )
+    rq: "qmod.Queue" = qmod.Queue()
+    stop = threading.Event()
+    results = {}
+    results_mu = threading.Lock()
+    prompt_cache = {}
+    prompt_mu = threading.Lock()
+
+    def prompt_mel(wavs_dir):
+        with prompt_mu:
+            if wavs_dir not in prompt_cache:
+                mels = [
+                    np.asarray(mel_spectrogram(
+                        jnp.asarray(peak_normalize(load_wav(w, HIFIGAN_SR)))
+                    ))
+                    for w in sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
+                ]
+                if not mels:
+                    raise FileNotFoundError(f"no *.wav under {wavs_dir}")
+                prompt_cache[wavs_dir] = np.concatenate(mels, axis=0)
+            return prompt_cache[wavs_dir]
+
+    def engine_loop():
+        for rid, wav in eng.run_live(rq, stop):
+            with results_mu:
+                ev = results[rid][0]
+                results[rid] = (ev, wav)
+            ev.set()
+
+    eng_thread = threading.Thread(target=engine_loop, daemon=True)
+    eng_thread.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self.send_error(404)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n))
+                ids = tts.phone_ids(body["text"])[None]
+                req = {
+                    "id": uuid.uuid4().hex,
+                    "phone": ids,
+                    "lens": np.array([ids.shape[1]], np.int32),
+                    "mels_prompt": prompt_mel(body["wavs_dir"])[None],
+                }
+            except Exception as e:
+                return self.send_error(400, str(e))
+            ev = threading.Event()
+            with results_mu:
+                results[req["id"]] = (ev, None)
+            rq.put(req)
+            if not ev.wait(timeout=600):
+                return self.send_error(504, "synthesis timed out")
+            with results_mu:
+                wav = results.pop(req["id"])[1]
+            payload = wav_bytes(wav, HIFIGAN_SR)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    server = ThreadingHTTPServer((args.host, args.http), Handler)
+    print(json.dumps({"mode": "http", "host": args.host,
+                      "port": server.server_address[1], "slots": args.slots}),
+          flush=True)
+    if _ready_cb is not None:
+        threading.Thread(target=_ready_cb, args=(server,), daemon=True).start()
+    try:
+        server.serve_forever()
+    finally:
+        stop.set()
+        eng_thread.join(timeout=30)
 
 
 def main(argv=None):
@@ -110,7 +234,10 @@ def main(argv=None):
         seed=args.seed,
     )
     mesh = make_mesh(n_model=args.n_model)
-    os.makedirs(args.out_dir, exist_ok=True)
+    if args.http is None:
+        if not (args.requests and args.out_dir):
+            raise SystemExit("batch serving requires --requests/--out_dir")
+        os.makedirs(args.out_dir, exist_ok=True)
     if mesh.size > 1:
         # params come off the loaders committed to one device; replicate
         # them across the mesh so the data-sharded batch can address them
@@ -130,6 +257,9 @@ def main(argv=None):
     buckets = sorted(int(b) for b in args.buckets.split(",") if int(b) <= args.max_frames)
     if not buckets or buckets[-1] < args.max_frames:
         buckets.append(args.max_frames)
+
+    if args.http is not None:
+        return run_http(args, tts)
 
     requests = [json.loads(l) for l in open(args.requests) if l.strip()]
 

@@ -38,3 +38,14 @@ def peak_normalize(y: np.ndarray) -> np.ndarray:
 def save_wav(path: str, y: np.ndarray, sr: int = 16000) -> None:
     y = np.clip(np.asarray(y, dtype=np.float32), -1.0, 1.0)
     wavfile.write(path, sr, (y * 32767.0).astype(np.int16))
+
+
+def wav_bytes(y: np.ndarray, sr: int = 16000) -> bytes:
+    """Encode a waveform as an in-memory RIFF/WAV (int16) — the HTTP
+    serving response body (serve.py --http)."""
+    import io
+
+    buf = io.BytesIO()
+    y = np.clip(np.asarray(y, dtype=np.float32), -1.0, 1.0)
+    wavfile.write(buf, sr, (y * 32767.0).astype(np.int16))
+    return buf.getvalue()

@@ -145,6 +145,78 @@ class TestServeBucketing:
         assert pick_bucket(1000, 16.0, buckets) == 2048  # capped at the max
 
 
+def _serve_fixture(tmp_path):
+    """Tiny random-weight orbax checkpoints + configs + prompt dir +
+    symbol table for serve.py tests.  Returns a dict of paths."""
+    import jax.numpy as jnp
+
+    from megatts2_tpu.config import (
+        MegaADMConfig,
+        MegaPLMConfig,
+        load_gan_config,
+    )
+    from megatts2_tpu.models import MegaADM, MegaG, MegaPLM
+    from megatts2_tpu.training.checkpoints import save_checkpoint
+    from megatts2_tpu.utils.audio import save_wav
+
+    gan = str(tmp_path / "gan.yaml")
+    open(gan, "w").write(GAN_TINY.format(steps=1, ds=tmp_path))
+    plm = str(tmp_path / "plm.yaml")
+    open(plm, "w").write(
+        "model:\n  plm: {n_layers: 1, n_heads: 2, vq_dim: 8, tc_latent_dim: 16, "
+        "vq_bins: 32, dropout: 0.0, use_flash: false}\n  initial_learning_rate: 1e-4\n"
+    )
+    adm = str(tmp_path / "adm.yaml")
+    open(adm, "w").write(
+        "model:\n  adm: {n_layers: 1, n_heads: 2, emb_dim: 8, tc_latent_dim: 16, "
+        "tc_emb_dim: 8, dropout: 0.0}\n  initial_learning_rate: 1e-4\n"
+    )
+    voc = str(tmp_path / "voc.yaml")
+    open(voc, "w").write(
+        "model:\n  vocoder:\n    family: vocos\n"
+        "    init_args: {dim: 16, intermediate_dim: 32, num_layers: 1}\n"
+    )
+
+    g_cfg, _, _ = load_gan_config(gan)
+    key = jax.random.PRNGKey(0)
+    g_vars = jax.jit(MegaG(g_cfg).init)(
+        {"params": key, "vq": key},
+        jnp.ones((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+        jnp.asarray([8]), jnp.zeros((1, 64, 80)), jnp.zeros((1, 64, 80)),
+    )
+    plm_params = jax.jit(MegaPLM(MegaPLMConfig(
+        n_layers=1, n_heads=2, vq_dim=8, tc_latent_dim=16, vq_bins=32,
+        dropout=0.0, use_flash=False,
+    )).init)(key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5), jnp.int32),
+             jnp.asarray([4]))["params"]
+    adm_params = jax.jit(MegaADM(MegaADMConfig(
+        n_layers=1, n_heads=2, emb_dim=8, tc_latent_dim=16, tc_emb_dim=8,
+        dropout=0.0,
+    )).init)(key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5, 1)),
+             jnp.asarray([4]))["params"]
+
+    g_ck = str(tmp_path / "ck_g")
+    plm_ck = str(tmp_path / "ck_plm")
+    adm_ck = str(tmp_path / "ck_adm")
+    save_checkpoint(g_ck, {"g_params": g_vars["params"],
+                           "vq_stats": g_vars["vq_stats"]}, 1)
+    save_checkpoint(plm_ck, {"params": plm_params}, 1)
+    save_checkpoint(adm_ck, {"params": adm_params}, 1)
+
+    sym = str(tmp_path / "sym")
+    with open(sym, "w") as f:
+        for i, s in enumerate(["<eps>", "_", "hello", "world", "nice", "day"]):
+            f.write(f"{s} {i}\n")
+    prompts = tmp_path / "prompts"
+    prompts.mkdir()
+    t = np.arange(4000) / 16000
+    save_wav(str(prompts / "p.wav"),
+             (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32))
+    return dict(gan=gan, plm=plm, adm=adm, voc=voc, sym=sym,
+                g_ck=g_ck, plm_ck=plm_ck, adm_ck=adm_ck,
+                prompts=str(prompts))
+
+
 class TestServeEndToEnd:
     def test_serve_main_with_orbax_ckpts(self, tmp_path, capsys):
         """serve.py end-to-end: orbax checkpoints -> bucketed batch
@@ -152,86 +224,24 @@ class TestServeEndToEnd:
         also exercises --vocoder vocos."""
         import json
 
-        import jax.numpy as jnp
-
-        from megatts2_tpu.config import (
-            MegaADMConfig,
-            MegaPLMConfig,
-            load_gan_config,
-        )
-        from megatts2_tpu.models import MegaADM, MegaG, MegaPLM
         from megatts2_tpu.serve import main as serve_main
-        from megatts2_tpu.training.checkpoints import save_checkpoint
-        from megatts2_tpu.utils.audio import save_wav
 
-        gan = str(tmp_path / "gan.yaml")
-        open(gan, "w").write(GAN_TINY.format(steps=1, ds=tmp_path))
-        plm = str(tmp_path / "plm.yaml")
-        open(plm, "w").write(
-            "model:\n  plm: {n_layers: 1, n_heads: 2, vq_dim: 8, tc_latent_dim: 16, "
-            "vq_bins: 32, dropout: 0.0, use_flash: false}\n  initial_learning_rate: 1e-4\n"
-        )
-        adm = str(tmp_path / "adm.yaml")
-        open(adm, "w").write(
-            "model:\n  adm: {n_layers: 1, n_heads: 2, emb_dim: 8, tc_latent_dim: 16, "
-            "tc_emb_dim: 8, dropout: 0.0}\n  initial_learning_rate: 1e-4\n"
-        )
-        voc = str(tmp_path / "voc.yaml")
-        open(voc, "w").write(
-            "model:\n  vocoder:\n    family: vocos\n"
-            "    init_args: {dim: 16, intermediate_dim: 32, num_layers: 1}\n"
-        )
-
-        g_cfg, _, _ = load_gan_config(gan)
-        key = jax.random.PRNGKey(0)
-        g_vars = jax.jit(MegaG(g_cfg).init)(
-            {"params": key, "vq": key},
-            jnp.ones((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
-            jnp.asarray([8]), jnp.zeros((1, 64, 80)), jnp.zeros((1, 64, 80)),
-        )
-        plm_params = jax.jit(MegaPLM(MegaPLMConfig(
-            n_layers=1, n_heads=2, vq_dim=8, tc_latent_dim=16, vq_bins=32,
-            dropout=0.0, use_flash=False,
-        )).init)(key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5), jnp.int32),
-                 jnp.asarray([4]))["params"]
-        adm_params = jax.jit(MegaADM(MegaADMConfig(
-            n_layers=1, n_heads=2, emb_dim=8, tc_latent_dim=16, tc_emb_dim=8,
-            dropout=0.0,
-        )).init)(key, jnp.zeros((1, 4, 16)), jnp.zeros((1, 5, 1)),
-                 jnp.asarray([4]))["params"]
-
-        g_ck = str(tmp_path / "ck_g")
-        plm_ck = str(tmp_path / "ck_plm")
-        adm_ck = str(tmp_path / "ck_adm")
-        save_checkpoint(g_ck, {"g_params": g_vars["params"],
-                               "vq_stats": g_vars["vq_stats"]}, 1)
-        save_checkpoint(plm_ck, {"params": plm_params}, 1)
-        save_checkpoint(adm_ck, {"params": adm_params}, 1)
-
-        sym = str(tmp_path / "sym")
-        with open(sym, "w") as f:
-            for i, s in enumerate(["<eps>", "_", "hello", "world", "nice", "day"]):
-                f.write(f"{s} {i}\n")
-        prompts = tmp_path / "prompts"
-        prompts.mkdir()
-        t = np.arange(4000) / 16000
-        save_wav(str(prompts / "p.wav"),
-                 (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32))
+        fx = _serve_fixture(tmp_path)
         reqs = str(tmp_path / "reqs.jsonl")
         with open(reqs, "w") as f:
             for i, txt in enumerate(["hello", "hello world", "hello world nice day"]):
                 f.write(json.dumps({"id": f"r{i}", "text": txt,
-                                    "wavs_dir": str(prompts)}) + "\n")
+                                    "wavs_dir": fx["prompts"]}) + "\n")
         out_dir = str(tmp_path / "out")
 
         serve_main([
             "--requests", reqs, "--out_dir", out_dir, "--batch_size", "2",
             "--max_frames", "64", "--buckets", "32,64", "--frames_per_phone", "8",
-            "--g_ckpt", g_ck, "--g_config", gan,
-            "--plm_ckpt", plm_ck, "--plm_config", plm,
-            "--adm_ckpt", adm_ck, "--adm_config", adm,
-            "--vocoder", "vocos", "--vocoder_config", voc,
-            "--symbol_table", sym,
+            "--g_ckpt", fx["g_ck"], "--g_config", fx["gan"],
+            "--plm_ckpt", fx["plm_ck"], "--plm_config", fx["plm"],
+            "--adm_ckpt", fx["adm_ck"], "--adm_config", fx["adm"],
+            "--vocoder", "vocos", "--vocoder_config", fx["voc"],
+            "--symbol_table", fx["sym"],
         ])
         captured = capsys.readouterr().out.strip().splitlines()
         stats = json.loads(captured[-1])
@@ -243,3 +253,70 @@ class TestServeEndToEnd:
 
             y = load_wav(p)
             assert y.size > 0 and np.isfinite(y).all()
+
+    def test_http_serving(self, tmp_path):
+        """serve.py --http: live continuous-engine serving — POST two
+        /synthesize requests concurrently, get valid WAV bodies back."""
+        import io
+        import json
+        import threading
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from scipy.io import wavfile
+
+        from megatts2_tpu.serve import main as serve_main
+
+        fx = _serve_fixture(tmp_path)
+        results = {}
+        done = threading.Event()
+
+        def ready_cb(server):
+            try:
+                port = server.server_address[1]
+
+                def post(txt):
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{port}/synthesize",
+                        data=json.dumps(
+                            {"text": txt, "wavs_dir": fx["prompts"]}
+                        ).encode(),
+                        headers={"Content-Type": "application/json"},
+                    )
+                    with urllib.request.urlopen(req, timeout=300) as r:
+                        assert r.headers["Content-Type"] == "audio/wav"
+                        return r.read()
+
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=60
+                ) as r:
+                    assert r.read() == b"ok"
+                with ThreadPoolExecutor(2) as ex:
+                    futs = [ex.submit(post, t)
+                            for t in ("hello world", "nice day")]
+                    for i, fut in enumerate(futs):
+                        results[i] = fut.result()
+            finally:
+                done.set()
+                server.shutdown()
+
+        import megatts2_tpu.serve as serve_mod
+
+        orig = serve_mod.run_http
+        serve_mod.run_http = lambda args, tts: orig(args, tts, _ready_cb=ready_cb)
+        try:
+            serve_main([
+                "--http", "0", "--slots", "2", "--max_frames", "64",
+                "--chunk_frames", "32",
+                "--g_ckpt", fx["g_ck"], "--g_config", fx["gan"],
+                "--plm_ckpt", fx["plm_ck"], "--plm_config", fx["plm"],
+                "--adm_ckpt", fx["adm_ck"], "--adm_config", fx["adm"],
+                "--vocoder", "vocos", "--vocoder_config", fx["voc"],
+                "--symbol_table", fx["sym"],
+            ])
+        finally:
+            serve_mod.run_http = orig
+        assert done.is_set() and len(results) == 2
+        for i in (0, 1):
+            sr, data = wavfile.read(io.BytesIO(results[i]))
+            assert sr == 16000 and data.size > 0
