@@ -260,6 +260,7 @@ class TestServeEndToEnd:
         import io
         import json
         import threading
+        import urllib.error
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
 
@@ -291,6 +292,22 @@ class TestServeEndToEnd:
                     f"http://127.0.0.1:{port}/healthz", timeout=60
                 ) as r:
                     assert r.read() == b"ok"
+                # error paths: unknown route 404, malformed body 400
+                for path, data, want in (
+                    ("/nope", None, 404),
+                    ("/synthesize", b"not json", 400),
+                ):
+                    try:
+                        urllib.request.urlopen(
+                            urllib.request.Request(
+                                f"http://127.0.0.1:{port}{path}",
+                                data=data, method="POST" if data else "GET",
+                            ),
+                            timeout=60,
+                        )
+                        raise AssertionError(f"{path} should have errored")
+                    except urllib.error.HTTPError as e:
+                        assert e.code == want, (path, e.code)
                 with ThreadPoolExecutor(2) as ex:
                     futs = [ex.submit(post, t)
                             for t in ("hello world", "nice day")]
