@@ -96,3 +96,19 @@ class TestConfigUnknownKeyWarning:
             warnings.simplefilter("always")
             _build(MegaADMConfig, {"init_args": {"n_layers": 2, "n_heads": 2}})
         assert not w, [str(x.message) for x in w]
+
+
+class TestDominantF0:
+    def test_picks_fundamental(self):
+        import sys
+
+        sys.path.insert(0, "tools")
+        from e2e_quality import dominant_f0
+
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        # harmonic stack, fundamental 130 Hz strongest (corpus-like)
+        y = sum((0.4 / h) * np.sin(2 * np.pi * 130 * h * t) for h in range(1, 5))
+        f0 = dominant_f0(y.astype(np.float32), sr)
+        assert abs(f0 - 130.0) < 2.0
+        assert dominant_f0(np.zeros(100, np.float32), sr) == 0.0  # too short
