@@ -145,9 +145,11 @@ def run_http(args, tts, _ready_cb=None):
     def engine_loop():
         for rid, wav in eng.run_live(rq, stop):
             with results_mu:
-                ev = results[rid][0]
-                results[rid] = (ev, wav)
-            ev.set()
+                entry = results.get(rid)
+                if entry is None:
+                    continue  # client timed out and dropped the slot
+                results[rid] = (entry[0], wav)
+            entry[0].set()
 
     eng_thread = threading.Thread(target=engine_loop, daemon=True)
     eng_thread.start()
@@ -184,6 +186,8 @@ def run_http(args, tts, _ready_cb=None):
                 results[req["id"]] = (ev, None)
             rq.put(req)
             if not ev.wait(timeout=600):
+                with results_mu:  # drop the slot so the table can't leak
+                    results.pop(req["id"], None)
                 return self.send_error(504, "synthesis timed out")
             with results_mu:
                 wav = results.pop(req["id"])[1]
