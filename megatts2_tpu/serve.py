@@ -142,8 +142,12 @@ def run_http(args, tts, _ready_cb=None):
                 prompt_cache[wavs_dir] = np.concatenate(mels, axis=0)
             return prompt_cache[wavs_dir]
 
+    stats = {"served": 0, "audio_s": 0.0, "started": time.time()}
+
     def engine_loop():
         for rid, wav in eng.run_live(rq, stop):
+            stats["served"] += 1
+            stats["audio_s"] += wav.shape[0] / 16000.0
             with results_mu:
                 entry = results.get(rid)
                 if entry is None:
@@ -163,6 +167,25 @@ def run_http(args, tts, _ready_cb=None):
                 self.send_response(200)
                 self.end_headers()
                 self.wfile.write(b"ok")
+            elif self.path == "/metrics":
+                up = max(time.time() - stats["started"], 1e-9)
+                with results_mu:
+                    in_flight = len(results)
+                body = json.dumps({
+                    "served": stats["served"],
+                    "audio_seconds": round(stats["audio_s"], 2),
+                    "in_flight": in_flight,
+                    "queue_depth": rq.qsize(),
+                    "engine_ticks": eng.n_ticks,
+                    "uptime_s": round(up, 1),
+                    "utt_per_sec": round(stats["served"] / up, 3),
+                    "slots": args.slots,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self.send_error(404)
 

@@ -313,6 +313,12 @@ class TestServeEndToEnd:
                             for t in ("hello world", "nice day")]
                     for i, fut in enumerate(futs):
                         results[i] = fut.result()
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=60
+                ) as r:
+                    m = json.loads(r.read())
+                    assert m["served"] == 2 and m["in_flight"] == 0
+                    assert m["audio_seconds"] > 0 and m["engine_ticks"] > 0
             finally:
                 done.set()
                 server.shutdown()
