@@ -20,6 +20,10 @@ import numpy as np
 
 
 def _timed_steps(step, state, batch, iters=10):
+    # commit the batch to device FIRST: on the axon tunnel a numpy batch
+    # re-uploads per call (~25 MB at tunnel bandwidth swamps the step);
+    # the real train loop overlaps uploads with compute via async dispatch
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
     state, m = step(state, batch)  # compile
     jax.block_until_ready(m)
     {k: float(np.asarray(v)) for k, v in m.items()}
@@ -144,6 +148,8 @@ def main():
     state, g_tx, d_tx = create_gan_state(jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg, batch)
     step = jax.jit(make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx), donate_argnums=(0,))
 
+    # device-committed batch (see _timed_steps: numpy re-uploads per call)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
     state, m = step(state, batch)  # compile
     jax.block_until_ready(m["G_loss_total"])
     float(m["G_loss_total"])
