@@ -111,11 +111,18 @@ def main():
         return run
 
     def timed(run, iters=5):
+        """Per-iteration MIN: each sequential batch pays a tunnel round
+        trip whose latency jitters by tens of ms run-to-run on this
+        target; min-of-N is the standard latency-benchmark answer (the
+        pipelined measurement below is jitter-free by construction and
+        tracks device compute)."""
         wav, n_frames = run()  # compile + warmup
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(iters):
+            t0 = time.perf_counter()
             wav, n_frames = run()
-        return (time.perf_counter() - t0) / iters, n_frames
+            best = min(best, time.perf_counter() - t0)
+        return best, n_frames
 
     def timed_pipelined(voc_cfg, voc_params, iters=5):
         """Throughput accounting: dispatch every batch before syncing —
