@@ -81,8 +81,11 @@ def parse_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--continuous", action="store_true",
                    help="continuous-batching engine (slot-based; admits "
-                        "requests at chunk boundaries) instead of bucketed "
-                        "batches — higher throughput on mixed traffic")
+                        "requests at chunk boundaries).  For ONLINE traffic "
+                        "(arrivals over time, --http) — first-come slots, no "
+                        "batch barriers; for offline request files the "
+                        "default bucketed mode has higher throughput "
+                        "(BENCHMARKS.md)")
     p.add_argument("--slots", type=int, default=8,
                    help="concurrent decode slots for --continuous")
     p.add_argument("--chunk_frames", type=int, default=128,
