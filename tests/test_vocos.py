@@ -179,3 +179,44 @@ class TestCascadeWithVocos:
         np.testing.assert_allclose(
             got["r0"], np.asarray(wav_full)[0, :total], rtol=1e-4, atol=1e-4
         )
+
+
+class TestISTFTWinShorterThanFFT:
+    def test_win_pad_branch_matches_torch(self):
+        """win_length < n_fft pads the window symmetrically (same as
+        torch.istft)."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(3)
+        T = 9
+        re = rng.standard_normal((1, T, 257)).astype(np.float32)
+        im = rng.standard_normal((1, T, 257)).astype(np.float32)
+        ours = np.asarray(istft(jnp.asarray(re), jnp.asarray(im),
+                                n_fft=512, hop=128, win_length=384))
+        spec = torch.complex(torch.tensor(re), torch.tensor(im)).transpose(1, 2)
+        ref = torch.istft(
+            spec, n_fft=512, hop_length=128, win_length=384,
+            window=torch.hann_window(384, periodic=True), center=True,
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestVocoderCkptRoundTrip:
+    def test_orbax_vocoder_ckpt_loads_into_vocos(self, tmp_path):
+        """The serving path: a vocoder-stage orbax checkpoint restores and
+        runs through the Vocos generator (load_vocoder_from_orbax)."""
+        from megatts2_tpu.training.checkpoints import (
+            load_vocoder_from_orbax,
+            save_checkpoint,
+        )
+
+        params = jax.jit(Vocos(TINY_VOCOS).init)(
+            jax.random.PRNGKey(7), jnp.zeros((1, 8, 80))
+        )["params"]
+        ck = str(tmp_path / "ck")
+        save_checkpoint(ck, {"g_params": params, "d_params": {}, "step": 5}, 5)
+        loaded = load_vocoder_from_orbax(ck)
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 80)),
+                          jnp.float32)
+        a = np.asarray(Vocos(TINY_VOCOS).apply({"params": params}, mel))
+        b = np.asarray(Vocos(TINY_VOCOS).apply({"params": loaded}, mel))
+        np.testing.assert_array_equal(a, b)
