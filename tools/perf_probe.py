@@ -160,8 +160,14 @@ def section_attn(reps: int = 20):
 
         res = {"section": "attn", "B": B, "T": T, "reps": reps}
         for name, fwd in (("einsum", einsum_fwd), ("flash", flash_fwd)):
-            dt_f = timeit(rep_fwd(fwd), q, k, v, lens, iters=3) / reps
-            dt_t = timeit(rep_train(fwd), q, k, v, lens, iters=3) / reps
+            try:
+                dt_f = timeit(rep_fwd(fwd), q, k, v, lens, iters=3) / reps
+                dt_t = timeit(rep_train(fwd), q, k, v, lens, iters=3) / reps
+            except Exception as e:  # einsum-train OOMs at 4k (the flash
+                res[f"{name}_fwdbwd_ms"] = "OOM"  # path is WHY 4k works)
+                print(json.dumps(res), flush=True)
+                print(f"# {name} at {B}x{T}: {type(e).__name__}", flush=True)
+                continue
             res[f"{name}_fwd_ms"] = round(dt_f * 1e3, 3)
             res[f"{name}_fwdbwd_ms"] = round(dt_t * 1e3, 3)
             res[f"{name}_fwd_mfu"] = round(flops_fwd / dt_f / PEAK_FLOPS["bf16"], 4)
