@@ -601,3 +601,37 @@ class TestFabricatedCheckpointRoundTrip:
             jnp.asarray([T, T]))
         np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=5e-5)
         np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), atol=5e-5)
+
+
+class TestLiteralReferenceConfigs:
+    """The loaders must ingest the reference's OWN config files unchanged
+    (same knob names/values; Lightning class_path/init_args trees)."""
+
+    def test_reference_yamls_load(self):
+        import os
+
+        if not os.path.isdir("/root/reference/configs"):
+            pytest.skip("reference checkout not mounted")
+        from megatts2_tpu.config import (
+            load_adm_config,
+            load_gan_config,
+            load_plm_config,
+        )
+
+        g, d, t = load_gan_config("/root/reference/configs/config_gan.yaml")
+        assert g.hidden_size == 512 and g.mrte.mel_stride == 16
+        assert g.vqpe.mel_bins == 20 and g.vqpe.vq_bins == 1024
+        assert d.time_lengths == (32, 64, 128)
+        assert (t.G_commit_loss_coeff, t.G_vq_loss_coeff, t.G_adv_loss_coeff) == (
+            0.15, 0.05, 1.0,
+        )
+        p, tp = load_plm_config("/root/reference/configs/config_plm.yaml")
+        assert (p.n_layers, p.n_heads, p.d_model) == (12, 16, 1024)
+        assert tp.max_steps == 100_000
+        a, ta = load_adm_config("/root/reference/configs/config_adm.yaml")
+        assert (a.n_layers, a.d_model) == (8, 768)
+        # the reference STORES 256 here while hardcoding 128 in its infer
+        # clamp (megatts2.py:275) — our knob takes the literal value and
+        # PARITY.md deviation #5 documents the difference
+        assert a.max_duration_token == 256
+        assert ta.max_steps == 50_000
