@@ -104,14 +104,19 @@ def vocoder_from_pretrained(
     from .hifigan import HiFiGAN
     from .vocos import Vocos
 
+    # Both families honor vocoder_config: a HiFi-GAN trained through the
+    # 'vocoder' stage with non-default init_args must be rebuilt with the
+    # SAME config or the orbax params mismatch the module (advisor r2).
+    cfg = None
+    if vocoder_config and os.path.exists(vocoder_config):
+        cfg, _, _ = load_vocoder_config(vocoder_config)
+        loaded_family = "vocos" if isinstance(cfg, VocosConfig) else "hifigan"
+        if loaded_family != vocoder:
+            cfg = None  # config is for the other family; fall back to defaults
     if vocoder == "vocos":
-        if vocoder_config and os.path.exists(vocoder_config):
-            cfg, _, _ = load_vocoder_config(vocoder_config)
-        else:
-            cfg = VocosConfig()
-        cls = Vocos
+        cfg, cls = cfg or VocosConfig(), Vocos
     else:
-        cfg, cls = HiFiGANConfig(), HiFiGAN
+        cfg, cls = cfg or HiFiGANConfig(), HiFiGAN
     if vocoder_ckpt:
         from ..training.checkpoints import load_vocoder_from_orbax
 

@@ -114,13 +114,15 @@ def main():
     from megatts2_tpu.config import DiscriminatorConfig, MegaGConfig, TrainConfig
     from megatts2_tpu.training import create_gan_state, make_gan_train_step
 
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    stages = "gan"
-    for a in sys.argv[1:]:
-        if a.startswith("--stages"):
-            stages = a.split("=", 1)[1] if "=" in a else "gan,plm,adm,vocoder"
-    stages = stages.split(",")
-    B = int(argv[0]) if argv else 8
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("batch", type=int, nargs="?", default=8)
+    ap.add_argument("--stages", default="gan",
+                    help="comma list from {gan,plm,adm,vocoder}")
+    args = ap.parse_args()
+    stages = args.stages.split(",")
+    B = args.batch
     for s in stages:
         if s == "plm" or s == "adm":
             bench_lm(s, B)
