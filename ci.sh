@@ -20,6 +20,9 @@ import megatts2_tpu.prepare_ds, megatts2_tpu.continuous
 print("imports ok", megatts2_tpu.__name__)
 EOF
 
+echo "== sharding sweep (SPMD warnings) =="
+python tools/sharding_sweep.py --small
+
 echo "== pytest =="
 if [ "${1:-}" = "quick" ]; then
   python -m pytest tests/ -x -q \

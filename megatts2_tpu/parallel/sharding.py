@@ -82,12 +82,25 @@ def opt_shardings(opt_state: Any, params: Any, mesh: Mesh, zero: bool = False) -
     rep = NamedSharding(mesh, P())
     n_data = mesh.shape.get(DATA_AXIS, 1)
 
+    # Flatten-fed Dense kernels (discriminator adv_layer): their input dim
+    # is a merged (T', F', C) product.  ZeRO-sharding that dim cannot
+    # propagate through the flatten reshape, so the SPMD partitioner falls
+    # back to an involuntary FULL REMATERIALIZATION of the activation
+    # cotangent every step (XLA spmd_partitioner warning, observed in the
+    # r02 multichip dryrun).  They are ≤20k elements at full size — ZeRO
+    # gains nothing — so keep their moments replicated.
+    _ZERO_EXEMPT = ("adv_layer",)
+
     def zero_shard(spec_tree):
         if not zero or n_data == 1:
             return spec_tree
 
-        def widen(param_leaf, sh):
+        def widen(path, param_leaf, sh):
             if sh.spec != P():  # already TP-sharded: leave it
+                return sh
+            if any(
+                getattr(p, "key", None) in _ZERO_EXEMPT for p in path
+            ):
                 return sh
             shape = param_leaf.shape
             for ax in sorted(
@@ -99,7 +112,7 @@ def opt_shardings(opt_state: Any, params: Any, mesh: Mesh, zero: bool = False) -
                     return NamedSharding(mesh, P(*spec))
             return sh
 
-        return jax.tree_util.tree_map(widen, params, spec_tree)
+        return jax.tree_util.tree_map_with_path(widen, params, spec_tree)
 
     moment_shards = zero_shard(p_shards)
 

