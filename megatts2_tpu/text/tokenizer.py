@@ -35,8 +35,16 @@ PHONE_SEP = "|"
 
 def load_pinyin_dict(path: Optional[str] = None) -> Dict[str, List[str]]:
     """Parse a tab-separated ``pinyin\\tphone phone ...`` dictionary
-    (the MFA 'lty' mandarin dict format the reference ships)."""
-    path = path or os.environ.get("MEGATTS2_TPU_PINYIN_DICT", "")
+    (the MFA 'lty' mandarin dict format the reference ships).  Resolution
+    order: explicit ``path`` → ``MEGATTS2_TPU_PINYIN_DICT`` env var → the
+    bundled generated dictionary (``pinyin_dict.py``, phone-identical to
+    the reference asset on every shared syllable)."""
+    if not path:
+        path = os.environ.get("MEGATTS2_TPU_PINYIN_DICT", "")
+    if not path:
+        from .pinyin_dict import default_dict_path
+
+        path = default_dict_path()
     mapping: Dict[str, List[str]] = {}
     if not path or not os.path.exists(path):
         return mapping

@@ -275,6 +275,58 @@ class TestTokenizer:
         assert "ni3" in d
 
 
+class TestBundledPinyinDict:
+    """The GENERATED in-repo dictionary (text/pinyin_dict.py): default
+    G2P path needs no external asset (reference bundles its dict as a
+    repo file, utils/mandarin_pinyin_to_mfa_lty.dict)."""
+
+    def test_bundled_dict_is_default(self, monkeypatch):
+        from megatts2_tpu.text.pinyin_dict import default_dict_path
+
+        monkeypatch.delenv("MEGATTS2_TPU_PINYIN_DICT", raising=False)
+        assert os.path.exists(default_dict_path())
+        d = load_pinyin_dict()  # no path, no env → bundled
+        assert len(d) > 2000
+        assert d["ni3"] == ["n", "i˨˩˦"]
+        assert d["zhang1"] == ["ʈʂ", "a˥˥", "ŋ"]
+        assert d["shi4"] == ["ʂ", "ʐ̩˥˩"]
+        assert d["yuan2"] == ["ɥ", "e˧˥", "n"]
+
+    def test_generator_matches_reference_dict(self):
+        """Every syllable of the reference asset is generated, and every
+        shared toned entry (tones 1-4) is phone-identical."""
+        ref_path = "/root/reference/utils/mandarin_pinyin_to_mfa_lty.dict"
+        if not os.path.exists(ref_path):
+            pytest.skip("reference dict not mounted")
+        import re
+
+        from megatts2_tpu.text.pinyin_dict import generate_entries, iter_syllables
+
+        ref = {}
+        for line in open(ref_path, encoding="utf-8"):
+            parts = line.rstrip("\n").split("\t")
+            m = re.match(r"^([a-z]+)([1-4])$", parts[0])
+            if m:
+                ref[parts[0]] = parts[-1]
+        mine_syls = {w for w, _, _ in iter_syllables()}
+        ref_syls = {k[:-1] for k in ref}
+        assert ref_syls <= mine_syls, sorted(ref_syls - mine_syls)
+        gen = {k: " ".join(v) for k, v in generate_entries()}
+        bad = [k for k, v in ref.items() if gen.get(k) != v]
+        assert not bad, bad[:10]
+
+    def test_hanzi_pipeline_with_pypinyin(self):
+        """Full Chinese sentence → MFA phones (runs wherever pypinyin
+        exists; reference modules/tokenizer.py:158-167 smoke sentence)."""
+        pytest.importorskip("pypinyin")
+        tt = TextTokenizer()  # bundled dict
+        toks = tt.tokenize("你好世界")
+        phones = tt.tokenize_lty(toks)
+        # every syllable resolved to phones (no raw pinyin left over)
+        assert phones and all(not p[-1].isdigit() for p in phones)
+        assert "n" in phones and "ʂ" in phones
+
+
 class TestBatchDivisor:
     def test_batches_divisible(self):
         m = CutManifest([Cut(str(i), "s", 2.0, 10) for i in range(23)])
