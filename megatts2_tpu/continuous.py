@@ -48,7 +48,9 @@ from .models.streaming import (
     jax.jit, static_argnames=("plm_cfg", "S", "Tc", "dtype", "quant")
 )
 def engine_init(plm_params, plm_cfg, S: int, Tc: int, dtype, quant: bool):
-    """Allocate the per-slot KV cache (zeros) by tracing one decode step."""
+    """Allocate the per-slot KV cache (zeros) by tracing one decode step.
+    ``Tc`` is the full cache length — generated-code budget plus the
+    engine's prompt budget when prosody prompting is enabled."""
     model = MegaPLM(
         plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc, quant=quant,
         per_slot=True,
@@ -63,6 +65,38 @@ def engine_init(plm_params, plm_cfg, S: int, Tc: int, dtype, quant: bool):
         mutable=["cache"],
     )
     return jax.tree_util.tree_map(jnp.zeros_like, cache)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plm_cfg", "Tc_total", "dtype", "quant")
+)
+def prefill_slots(
+    plm_params,
+    prompt_tc: jnp.ndarray,  # (A, Pe, D) code-rate content latents
+    prev_prompt: jnp.ndarray,  # (A, Pe) int32: BOS ++ prompt_codes[:-1]
+    plm_cfg: MegaPLMConfig,
+    Tc_total: int,
+    dtype,
+    quant: bool,
+):
+    """Batched block-causal prompt prefill for an admission wave.
+
+    Runs the ordinary (non-per-slot) ``MegaPLM.prefill`` over the wave —
+    every admitted request's prompt occupies cache positions [0, Pe), so
+    the rows can then be scattered into the per-slot engine cache
+    (``admit_slots_prompted``).  The cache pytree leaf shapes match the
+    engine cache exactly because ``max_decode_len`` is the same."""
+    model = MegaPLM(
+        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc_total, quant=quant
+    )
+    _, cache = model.apply(
+        {"params": plm_params},
+        prompt_tc,
+        prev_prompt,
+        method=MegaPLM.prefill,
+        mutable=["cache"],
+    )
+    return cache
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -106,9 +140,66 @@ def admit_slots(
     return carry
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def admit_slots_prompted(
+    carry: dict,
+    slots: jnp.ndarray,  # (A,) int32 target slots (may repeat — first wins)
+    tc_plm_a: jnp.ndarray,  # (A, Tc, D)
+    tc_expand_a: jnp.ndarray,  # (A, Tf, H)
+    total_codes_a: jnp.ndarray,  # (A,) int32
+    prev_a: jnp.ndarray,  # (A,) int32: BOS, or last prompt code
+    plen_a: jnp.ndarray,  # (A,) int32 prompt length (0 = unprompted)
+    pf_cache: dict,  # prefill_slots output: k/v (num_layers, A, L, HD)
+):
+    """Admission with in-context prosody prompts: install each request's
+    content AND its prefilled prompt KV rows in one dispatch.
+
+    Vectorized gather-select instead of the legacy per-slot scan: for each
+    engine slot, find its writer row in the wave (argmax over the match
+    matrix — duplicate padding rows are idempotent, first match wins) and
+    masked-select new vs old.  Unprompted rows (plen 0) carry junk prefill
+    K/V, which is safe: the per-slot causal mask attends positions
+    ``<= index`` and every position below the slot's index is rewritten by
+    the slot's own decode steps before it is ever attended."""
+    S = carry["prev"].shape[0]
+    match = slots[None, :] == jnp.arange(S, dtype=slots.dtype)[:, None]  # (S, A)
+    has = match.any(axis=1)
+    wi = jnp.argmax(match, axis=1)  # writer row per slot
+
+    def sel(new, old, n_extra):
+        m = has.reshape((S,) + (1,) * n_extra)
+        return jnp.where(m, new, old)
+
+    plen_s = jnp.take(plen_a, wi)
+
+    def upd_cache(path, old, pf):
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if key == "index":
+            # engine (num_layers, S) ← per-slot prompt length; prefill's
+            # own scalar index is ignored (plen_a already encodes it)
+            return jnp.where(has[None, :], plen_s[None, :], old)
+        new = jnp.take(pf, wi, axis=1)  # (num_layers, S, L, HD)
+        return jnp.where(has[None, :, None, None], new, old)
+
+    cache = jax.tree_util.tree_map_with_path(upd_cache, carry["cache"], pf_cache)
+    return dict(
+        carry,
+        cache=cache,
+        tc_plm=sel(jnp.take(tc_plm_a, wi, axis=0).astype(carry["tc_plm"].dtype),
+                   carry["tc_plm"], 2),
+        tc_expand=sel(jnp.take(tc_expand_a, wi, axis=0).astype(carry["tc_expand"].dtype),
+                      carry["tc_expand"], 2),
+        codes=sel(jnp.zeros_like(carry["codes"]), carry["codes"], 1),
+        prev=sel(jnp.take(prev_a, wi), carry["prev"], 0),
+        pos=sel(jnp.zeros_like(carry["pos"]), carry["pos"], 0),
+        total=sel(jnp.take(total_codes_a, wi), carry["total"], 0),
+        plen=sel(plen_s, carry["plen"], 0),
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("plm_cfg", "K", "Tc", "dtype", "quant"),
+    static_argnames=("plm_cfg", "K", "Tc", "Pe", "dtype", "quant"),
     donate_argnums=(1,),
 )
 def engine_tick(
@@ -119,14 +210,19 @@ def engine_tick(
     Tc: int,
     dtype,
     quant: bool,
+    Pe: int = 0,
 ):
     """Advance every live slot K prosody codes (greedy).  Done slots
     freeze their code buffer; their cache keeps absorbing junk writes at
-    the clamped last position, which nothing reads."""
+    the clamped last position, which nothing reads.  ``Pe`` is the static
+    prompt budget: the cache is ``Tc + Pe`` long and a prompted slot's
+    decode runs at absolute positions ``plen + pos`` (prompt in [0, plen),
+    written at admission by ``prefill_slots``/``admit_slots_prompted``)."""
     model = MegaPLM(
-        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc, quant=quant,
+        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc + Pe, quant=quant,
         per_slot=True,
     )
+    plen = carry.get("plen")
 
     def step(st, _):
         cache, prev, pos, codes = st
@@ -136,7 +232,7 @@ def engine_tick(
             {"params": plm_params, **cache},
             tc_t,
             prev,
-            p,
+            p if plen is None else p + plen,  # absolute position
             method=MegaPLM.decode_step,
             mutable=["cache"],
         )
@@ -162,7 +258,8 @@ def engine_tick(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plm_cfg", "g_cfg", "hifi_cfg", "K", "Tc", "F", "rv", "rd", "dtype", "quant",
+        "plm_cfg", "g_cfg", "hifi_cfg", "K", "Tc", "F", "rv", "rd", "dtype",
+        "quant", "Pe",
     ),
     donate_argnums=(3,),
 )
@@ -182,13 +279,16 @@ def engine_tick_emit(
     rd: int,
     dtype,
     quant: bool,
+    Pe: int = 0,
 ):
     """Fused tick + emit: ONE dispatch advances every slot K codes and
     produces this tick's audio chunks.  The host can pass ``a_vec``
     up-front because the schedule is deterministic (codes advance exactly
     K per tick), so nothing needs a round trip between decode and emit —
     on a tunneled target every saved dispatch is ~75 ms."""
-    carry = engine_tick.__wrapped__(plm_params, carry, plm_cfg, K, Tc, dtype, quant)
+    carry = engine_tick.__wrapped__(
+        plm_params, carry, plm_cfg, K, Tc, dtype, quant, Pe
+    )
     wavs = emit_slots.__wrapped__(
         g_vars, hifi_params, g_cfg, hifi_cfg, carry, a_vec, F, rv, rd, dtype
     )
@@ -253,9 +353,12 @@ class ContinuousEngine:
     ...     ...
 
     A request is ``{"id": ..., "phone": (1,Tp) int32, "lens": (1,),
-    "mels_prompt": (1,Tm,80)}``.  ``run`` yields ``(id, full_wav)`` in
-    completion order.  One tick = one PLM advance + one batched emit =
-    two dispatches for up to ``slots`` concurrent requests.
+    "mels_prompt": (1,Tm,80)}``, optionally plus ``prompt_tc`` (P,D) /
+    ``prompt_codes`` (P,) — the in-context prosody prompt (requires
+    ``prompt_tokens`` > 0 at engine construction).  ``run`` yields
+    ``(id, full_wav)`` in completion order.  One tick = one PLM advance +
+    one batched emit = two dispatches for up to ``slots`` concurrent
+    requests.
     """
 
     def __init__(
@@ -270,7 +373,14 @@ class ContinuousEngine:
         chunk_frames: int = 256,
         dtype: Any = jnp.bfloat16,
         quant: bool = False,
+        prompt_tokens: int = 0,
     ):
+        """``prompt_tokens`` > 0 enables in-context prosody prompting: a
+        request may carry ``prompt_tc``/``prompt_codes`` (stage-2 features,
+        see data.datasets.prompt_features), which are fitted to the static
+        ``prompt_tokens`` budget (tiled + tail-truncated), block-causally
+        prefilled into the slot's KV cache at admission, and decoded past —
+        exactly plm_infer's prompt path, per slot."""
         self.params = (g_vars, plm_params, adm_params, hifi_params)
         self.cfgs = (g_cfg, plm_cfg, adm_cfg, hifi_cfg)
         self.S = slots
@@ -281,18 +391,22 @@ class ContinuousEngine:
             _roundup(max_frames, self.F), self.F + 2 * (self.rv + self.rd)
         )
         self.Tc = self.Tmax // 8
+        self.Pe = _roundup(prompt_tokens, 8) if prompt_tokens > 0 else 0
         self.dtype = dtype
         self.quant = quant
         D = plm_cfg.tc_latent_dim
         H = g_cfg.mrte.hidden_size
         self.carry = dict(
-            cache=engine_init(plm_params, plm_cfg, slots, self.Tc, dtype, quant),
+            cache=engine_init(
+                plm_params, plm_cfg, slots, self.Tc + self.Pe, dtype, quant
+            ),
             tc_plm=jnp.zeros((slots, self.Tc, D), jnp.float32),
             tc_expand=jnp.zeros((slots, self.Tmax, H), jnp.float32),
             codes=jnp.zeros((slots, self.Tc), jnp.int32),
             prev=jnp.full((slots,), plm_cfg.bos_id, jnp.int32),
             pos=jnp.zeros((slots,), jnp.int32),
             total=jnp.zeros((slots,), jnp.int32),
+            plen=jnp.zeros((slots,), jnp.int32),
         )
         # host-side slot table
         self.slot_req: List[Optional[dict]] = [None] * slots
@@ -350,14 +464,55 @@ class ContinuousEngine:
         ).astype(np.int32)
         # pad the admit batch to S by duplicating entry 0 (idempotent)
         order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
-        self.carry = admit_slots(
-            self.carry,
-            jnp.asarray([pairs[i][0] for i in order], jnp.int32),
-            jnp.stack([tc_plm[i] for i in order]),
-            jnp.stack([tc_expand[i] for i in order]),
-            jnp.asarray(total_codes[np.asarray(order)]),
-            jnp.asarray(plm_cfg.bos_id, jnp.int32),
-        )
+        if self.Pe == 0:
+            if any("prompt_codes" in r for _, r in pairs):
+                raise ValueError(
+                    "request carries a prosody prompt but the engine was "
+                    "built with prompt_tokens=0"
+                )
+            self.carry = admit_slots(
+                self.carry,
+                jnp.asarray([pairs[i][0] for i in order], jnp.int32),
+                jnp.stack([tc_plm[i] for i in order]),
+                jnp.stack([tc_expand[i] for i in order]),
+                jnp.asarray(total_codes[np.asarray(order)]),
+                jnp.asarray(plm_cfg.bos_id, jnp.int32),
+            )
+        else:
+            from .data.datasets import fit_prompt
+
+            _, plm_params, _, _ = self.params
+            D = plm_cfg.tc_latent_dim
+            ptc = np.zeros((self.S, self.Pe, D), np.float32)
+            pcodes = np.zeros((self.S, self.Pe), np.int32)
+            plen = np.zeros((self.S,), np.int32)
+            prev = np.full((self.S,), plm_cfg.bos_id, np.int32)
+            for k, i in enumerate(order):
+                r = pairs[i][1]
+                if r.get("prompt_codes") is None:
+                    continue  # unprompted: plen 0, BOS prev, junk prefill row
+                t, c = fit_prompt(r["prompt_tc"], r["prompt_codes"], self.Pe)
+                ptc[k], pcodes[k] = t[0], c[0]
+                plen[k] = self.Pe
+                prev[k] = c[0, -1]
+            prev_prompt = np.concatenate(
+                [np.full((self.S, 1), plm_cfg.bos_id, np.int32), pcodes[:, :-1]],
+                axis=1,
+            )
+            pf_cache = prefill_slots(
+                plm_params, jnp.asarray(ptc), jnp.asarray(prev_prompt),
+                plm_cfg, self.Tc + self.Pe, self.dtype, self.quant,
+            )
+            self.carry = admit_slots_prompted(
+                self.carry,
+                jnp.asarray([pairs[i][0] for i in order], jnp.int32),
+                jnp.stack([tc_plm[i] for i in order]),
+                jnp.stack([tc_expand[i] for i in order]),
+                jnp.asarray(total_codes[np.asarray(order)]),
+                jnp.asarray(prev),
+                jnp.asarray(plen),
+                pf_cache,
+            )
         for i, (slot, req) in enumerate(pairs):
             self.slot_req[slot] = req
             self.slot_emitted[slot] = 0
@@ -472,6 +627,7 @@ class ContinuousEngine:
                     plm_params, g_vars, hifi_params, self.carry,
                     jnp.asarray(a_vec, jnp.int32), plm_cfg, g_cfg, hifi_cfg,
                     Cc, self.Tc, self.F, self.rv, self.rd, self.dtype, self.quant,
+                    self.Pe,
                 )
                 self.n_ticks += 1
                 if items:

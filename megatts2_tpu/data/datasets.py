@@ -132,6 +132,22 @@ class GANBatchBuilder:
             for i, c in enumerate(cuts):
                 mel_targets[i, : tgt_lens[i]] = self._read_mel(c)[: tgt_lens[i]]
 
+        try:
+            return self._assemble(cuts, phones, durs, lens, tgt_lens, T,
+                                  ticket, None if ticket >= 0 else mel_targets)
+        except BaseException:
+            if ticket >= 0:
+                # never leak a ring slot: an exception mid-assembly (e.g. a
+                # bad timbre cut) would otherwise strand the ticket and,
+                # after 2 such events, silently disable the native ring
+                # forever (advisor r2)
+                try:
+                    self._ring.wait(ticket, len(cuts), T)
+                finally:
+                    self._ring.release(ticket)
+            raise
+
+    def _assemble(self, cuts, phones, durs, lens, tgt_lens, T, ticket, mel_targets):
         # timbre mels: concat of 2..n random same-speaker utterances
         n_sample = self.rng.randint(2, self.n_same_spk_samples + 1)
         timbres, tlens = [], []
@@ -263,6 +279,60 @@ def prompt_features(
     tc = np.concatenate(tcs)[-max_tokens:]
     p = np.concatenate(ps)[-max_tokens:]
     return tc[None].astype(np.float32), p[None].astype(np.int32)
+
+
+def load_prompt_manifest(ds_path: str) -> CutManifest:
+    """All cuts (train + valid) of a prepared dataset — the prompt pool."""
+    m = CutManifest.load(os.path.join(ds_path, "cuts_train.jsonl.gz"))
+    vp = os.path.join(ds_path, "cuts_valid.jsonl.gz")
+    if os.path.exists(vp):
+        m.cuts.extend(CutManifest.load(vp).cuts)
+    return m
+
+
+def resolve_prompt(
+    ds_path: str,
+    cut_ids: Optional[List[str]] = None,
+    speaker: Optional[str] = None,
+    n: int = 3,
+    max_tokens: int = 2048,
+    manifest: Optional[CutManifest] = None,
+):
+    """User-surface entry to in-context prosody prompting: pick prompt cuts
+    either explicitly (``cut_ids``) or as the first ``n`` utterances of a
+    ``speaker``, and return ``(tc (1,P,D), codes (1,P))`` for plm_infer /
+    synthesize.  ``ds_path`` is a prepare_ds root with stage-2 ``latents/``."""
+    m = manifest if manifest is not None else load_prompt_manifest(ds_path)
+    if not cut_ids:
+        if not speaker:
+            raise ValueError("need prompt cut_ids or a speaker")
+        pool = [c.id for c in m if c.speaker == speaker]
+        if not pool:
+            raise ValueError(f"no cuts for speaker {speaker!r} in {ds_path}")
+        cut_ids = pool[:n]
+    return prompt_features(m, ds_path, list(cut_ids), max_tokens=max_tokens)
+
+
+def fit_prompt(tc: np.ndarray, codes: np.ndarray, length: int):
+    """Fit an in-context prosody prompt to a STATIC token length.
+
+    Serving needs one compiled graph per prompt length, so prompts are
+    tiled (a prompt is a same-speaker utterance concat — repeating it is
+    within the PLM's training distribution, modules/datamodule.py:186-211)
+    and tail-truncated so the LAST ``length`` tokens flow into decode.
+    Accepts (P, ...)/(P,) or leading-batch (1, P, ...) arrays; returns
+    batched (1, length, ...) fp32 / (1, length) int32."""
+    tc = np.asarray(tc)
+    codes = np.asarray(codes)
+    if tc.ndim == 3:
+        tc = tc[0]
+    codes = codes.reshape(-1)
+    P = tc.shape[0]
+    assert P == codes.shape[0] and P > 0, (tc.shape, codes.shape)
+    reps = -(-length // P)
+    tc = np.concatenate([tc] * reps)[-length:]
+    codes = np.concatenate([codes] * reps)[-length:]
+    return tc[None].astype(np.float32), codes[None].astype(np.int32)
 
 
 class PLMBatchBuilder:

@@ -48,6 +48,20 @@ def parse_args(argv=None):
     p.add_argument("--plm_top_k", type=int, default=0,
                    help="truncate sampling to the k most likely codes")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
+    p.add_argument("--plm_prompt_ds", default=None,
+                   help="prepare_ds root with stage-2 latents/ — enables "
+                        "in-context prosody prompting (the same-speaker "
+                        "prompt prefix the PLM is trained with, reference "
+                        "modules/datamodule.py:186-211)")
+    p.add_argument("--plm_prompt_cuts", default=None,
+                   help="comma-separated cut ids to use as the prosody "
+                        "prompt (default: first --plm_prompt_n cuts of "
+                        "--plm_prompt_speaker)")
+    p.add_argument("--plm_prompt_speaker", default=None,
+                   help="speaker whose utterances form the prosody prompt")
+    p.add_argument("--plm_prompt_n", type=int, default=3,
+                   help="number of speaker utterances in the prompt")
+    p.add_argument("--plm_prompt_max_tokens", type=int, default=2048)
     return p.parse_args(argv)
 
 
@@ -56,16 +70,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
-    from .config import (
-        HiFiGANConfig,
-        load_adm_config,
-        load_gan_config,
-        load_plm_config,
-    )
-    from .models import HiFiGAN, MegaADM, MegaG, MegaPLM, Megatts
+    from .config import load_adm_config, load_gan_config, load_plm_config
+    from .models import MegaADM, MegaG, MegaPLM, Megatts
     from .training.convert import (
         convert_adm,
-        convert_hifigan,
         convert_megag,
         convert_plm,
         load_torch_state_dict,
@@ -74,7 +82,6 @@ def main(argv=None):
     g_cfg, _, _ = load_gan_config(args.g_config)
     plm_cfg, _ = load_plm_config(args.plm_config)
     adm_cfg, _ = load_adm_config(args.adm_config)
-    hifi_cfg = HiFiGANConfig()
     key = jax.random.PRNGKey(0)
 
     if args.g_ckpt:
@@ -103,34 +110,14 @@ def main(argv=None):
             jnp.zeros((1, 5, 1)), jnp.asarray([4]),
         )["params"]
 
-    if args.vocoder == "vocos":
-        import os
+    # Shared loader handles both families + config-from-training-yaml
+    # (a HiFi-GAN trained via the 'vocoder' stage with non-default
+    # init_args must be rebuilt with the same config — advisor r2).
+    from .models.pretrained import vocoder_from_pretrained
 
-        from .config import load_vocoder_config
-        from .models import Vocos
-
-        if os.path.exists(args.vocoder_config):
-            hifi_cfg, _, _ = load_vocoder_config(args.vocoder_config)
-        else:
-            from .config import VocosConfig
-
-            hifi_cfg = VocosConfig()
-        if args.vocoder_ckpt:
-            from .training.checkpoints import load_vocoder_from_orbax
-
-            hifi_params = load_vocoder_from_orbax(args.vocoder_ckpt)
-        else:
-            hifi_params = jax.jit(Vocos(hifi_cfg).init)(
-                key, jnp.zeros((1, 16, 80))
-            )["params"]
-    elif args.vocoder_ckpt:
-        from .training.checkpoints import load_vocoder_from_orbax
-
-        hifi_params = load_vocoder_from_orbax(args.vocoder_ckpt)
-    elif args.hifigan_ckpt:
-        hifi_params = convert_hifigan(load_torch_state_dict(args.hifigan_ckpt), hifi_cfg)
-    else:
-        hifi_params = jax.jit(HiFiGAN(hifi_cfg).init)(key, jnp.zeros((1, 16, 80)))["params"]
+    hifi_cfg, hifi_params = vocoder_from_pretrained(
+        args.vocoder, args.vocoder_ckpt, args.hifigan_ckpt, args.vocoder_config
+    )
 
     tts = Megatts(
         g_vars=g_vars, plm_params=plm_params, adm_params=adm_params,
@@ -141,7 +128,18 @@ def main(argv=None):
         quant_int8=args.quant_int8, plm_temperature=args.plm_temperature,
         plm_top_k=args.plm_top_k, seed=args.seed,
     )
-    wav = tts(args.wavs_dir, args.text, out_path=args.out)
+    pf = None
+    if args.plm_prompt_ds:
+        from .data import resolve_prompt
+
+        pf = resolve_prompt(
+            args.plm_prompt_ds,
+            cut_ids=args.plm_prompt_cuts.split(",") if args.plm_prompt_cuts else None,
+            speaker=args.plm_prompt_speaker,
+            n=args.plm_prompt_n,
+            max_tokens=args.plm_prompt_max_tokens,
+        )
+    wav = tts(args.wavs_dir, args.text, out_path=args.out, prompt_features=pf)
     print(f"wrote {args.out}: {wav.shape[0] / 16000:.2f}s")
 
 

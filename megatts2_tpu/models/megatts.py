@@ -267,7 +267,10 @@ class Megatts:
 
         prompt_kw = {}
         if prompt_features is not None:
-            ptc, pcodes = prompt_features
+            ptc, pcodes = np.asarray(prompt_features[0]), np.asarray(prompt_features[1])
+            if ptc.shape[0] == 1 and B > 1:  # one shared prompt for the batch
+                ptc = np.broadcast_to(ptc, (B,) + ptc.shape[1:])
+                pcodes = np.broadcast_to(pcodes, (B,) + pcodes.shape[1:])
             prompt_kw = dict(
                 plm_prompt_tc=jnp.asarray(ptc), plm_prompt_codes=jnp.asarray(pcodes)
             )
@@ -318,7 +321,18 @@ class Megatts:
             temperature=self.plm_temperature, top_k=self.plm_top_k, rng=rng,
         )
 
-    def __call__(self, wavs_dir: str, text: str, out_path: str = "test.wav") -> np.ndarray:
+    def __call__(
+        self,
+        wavs_dir: str,
+        text: str,
+        out_path: str = "test.wav",
+        prompt_features: Optional[tuple] = None,  # (tc (1,P,D), codes (1,P))
+    ) -> np.ndarray:
+        """``prompt_features`` optionally supplies the in-context prosody
+        prompt (stage-2 features of same-speaker utterances — see
+        ``data.datasets.prompt_features``) that the PLM was trained with
+        (reference modules/datamodule.py:186-211) but which the reference's
+        own infer path never exploits."""
         wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))
         mels = []
         prompt_wav = None
@@ -332,6 +346,12 @@ class Megatts:
         ids = self.phone_ids(text)[None]  # (1, Tp)
         lens = np.array([ids.shape[1]], np.int32)
 
+        prompt_kw = {}
+        if prompt_features is not None:
+            ptc, pcodes = prompt_features
+            prompt_kw = dict(
+                plm_prompt_tc=jnp.asarray(ptc), plm_prompt_codes=jnp.asarray(pcodes)
+            )
         rng = None
         if self.plm_temperature > 0:
             self._rng, rng = jax.random.split(self._rng)
@@ -341,7 +361,7 @@ class Megatts:
             jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mel_prompt),
             max_frames=self.max_frames, dtype=self.dtype, quant=self.quant_int8,
             plm_temperature=self.plm_temperature, plm_top_k=self.plm_top_k,
-            rng=rng,
+            rng=rng, **prompt_kw,
         )
         n = int(n_frames[0]) * HIFIGAN_HOP_LENGTH
         gen = np.asarray(wav[0])[:n]

@@ -90,7 +90,48 @@ def parse_args(argv=None):
                    help="concurrent decode slots for --continuous")
     p.add_argument("--chunk_frames", type=int, default=128,
                    help="emit granularity for --continuous")
+    p.add_argument("--prompt_ds", default=None,
+                   help="prepare_ds root with stage-2 latents/ — enables "
+                        "in-context prosody prompting; requests may then "
+                        "carry prompt_cuts: [ids] or prompt_speaker")
+    p.add_argument("--prompt_tokens", type=int, default=256,
+                   help="static prosody-prompt token budget (prompts are "
+                        "tiled + tail-truncated to this length)")
+    p.add_argument("--prompt_n", type=int, default=3,
+                   help="utterances per speaker prompt (prompt_speaker)")
     return p.parse_args(argv)
+
+
+def make_prompt_resolver(args):
+    """request dict → (tc, codes) or None, memoized by cut-id tuple.
+    Requests select the prompt with ``prompt_cuts`` (explicit ids) or
+    ``prompt_speaker`` (first --prompt_n cuts of that speaker)."""
+    if args.prompt_ds is None:
+        def no_prompt(r):
+            if r.get("prompt_cuts") or r.get("prompt_speaker"):
+                raise ValueError("request has a prosody prompt but the "
+                                 "server was started without --prompt_ds")
+            return None
+        return no_prompt
+    from .data import load_prompt_manifest, resolve_prompt
+
+    manifest = load_prompt_manifest(args.prompt_ds)
+    cache = {}
+
+    def resolver(r):
+        ids = tuple(r.get("prompt_cuts") or ())
+        spk = r.get("prompt_speaker")
+        if not ids and not spk:
+            return None
+        key = (ids, spk)
+        if key not in cache:
+            cache[key] = resolve_prompt(
+                args.prompt_ds, cut_ids=list(ids) or None, speaker=spk,
+                n=args.prompt_n, manifest=manifest,
+            )
+        return cache[key]
+
+    return resolver
 
 
 def run_http(args, tts, _ready_cb=None):
@@ -123,7 +164,9 @@ def run_http(args, tts, _ready_cb=None):
         slots=args.slots, max_frames=args.max_frames,
         chunk_frames=args.chunk_frames, dtype=tts.dtype,
         quant=args.quant_int8,
+        prompt_tokens=args.prompt_tokens if args.prompt_ds else 0,
     )
+    prompt_of = make_prompt_resolver(args)
     rq: "qmod.Queue" = qmod.Queue()
     stop = threading.Event()
     results = {}
@@ -205,6 +248,9 @@ def run_http(args, tts, _ready_cb=None):
                     "lens": np.array([ids.shape[1]], np.int32),
                     "mels_prompt": prompt_mel(body["wavs_dir"])[None],
                 }
+                pf = prompt_of(body)
+                if pf is not None:  # in-context prosody prompt
+                    req["prompt_tc"], req["prompt_codes"] = pf
             except Exception as e:
                 return self.send_error(400, str(e))
             ev = threading.Event()
@@ -311,21 +357,27 @@ def main(argv=None):
                 prompt_cache[wavs_dir] = np.concatenate(mels, axis=0)
             return prompt_cache[wavs_dir]
 
+        prompt_of = make_prompt_resolver(args)
         eng_reqs = []
         for r in requests:
             ids = tts.phone_ids(r["text"])[None]
-            eng_reqs.append({
+            req = {
                 "id": r["id"],
                 "phone": ids,
                 "lens": np.array([ids.shape[1]], np.int32),
                 "mels_prompt": prompt_mel(r["wavs_dir"])[None],
-            })
+            }
+            pf = prompt_of(r)
+            if pf is not None:
+                req["prompt_tc"], req["prompt_codes"] = pf
+            eng_reqs.append(req)
         eng = ContinuousEngine(
             tts.g_vars, tts.plm_params, tts.adm_params, tts.hifi_params,
             tts.g_cfg, tts.plm_cfg, tts.adm_cfg, tts.hifi_cfg,
             slots=args.slots, max_frames=args.max_frames,
             chunk_frames=args.chunk_frames, dtype=tts.dtype,
             quant=args.quant_int8,
+            prompt_tokens=args.prompt_tokens if args.prompt_ds else 0,
         )
         t0 = time.time()
         done, audio_s = 0, 0.0
@@ -341,18 +393,23 @@ def main(argv=None):
         }))
         return
 
-    by_group = defaultdict(list)  # (wavs_dir, frame bucket) -> requests
+    prompt_of = make_prompt_resolver(args)
+    # (wavs_dir, frame bucket, prosody-prompt key) -> requests; requests
+    # sharing a prompt batch together (the prompt is one static-length
+    # prefix broadcast over the batch, see plm_infer)
+    by_group = defaultdict(list)
     for r in requests:
         bucket = pick_bucket(
             len(tts.phone_ids(r["text"])), args.frames_per_phone, buckets
         )
-        by_group[(r["wavs_dir"], bucket)].append(r)
+        pkey = (tuple(r.get("prompt_cuts") or ()), r.get("prompt_speaker"))
+        by_group[(r["wavs_dir"], bucket, pkey)].append(r)
 
     t0 = time.time()
     done = 0
     audio_s = 0.0
     prompt_cache = {}
-    for (wavs_dir, bucket), reqs in sorted(by_group.items()):
+    for (wavs_dir, bucket, _pkey), reqs in sorted(by_group.items()):
         if wavs_dir not in prompt_cache:
             mels = []
             for w in sorted(glob.glob(os.path.join(wavs_dir, "*.wav"))):
@@ -360,6 +417,12 @@ def main(argv=None):
                 mels.append(np.asarray(mel_spectrogram(jnp.asarray(y))))
             prompt_cache[wavs_dir] = np.concatenate(mels, axis=0)
         mel_prompt = prompt_cache[wavs_dir]
+        pf = prompt_of(reqs[0])
+        if pf is not None:
+            # fit to ONE static token length so the jit cache stays bounded
+            from .data import fit_prompt
+
+            pf = fit_prompt(pf[0], pf[1], args.prompt_tokens)
         for i in range(0, len(reqs), args.batch_size):
             chunk = reqs[i : i + args.batch_size]
             # pad the final chunk so the jit shape stays fixed
@@ -368,7 +431,10 @@ def main(argv=None):
             prompts = np.broadcast_to(
                 mel_prompt[None], (len(texts),) + mel_prompt.shape
             )
-            wavs = tts.synthesize_batch(texts, prompts, mesh=mesh, max_frames=bucket)
+            wavs = tts.synthesize_batch(
+                texts, prompts, mesh=mesh, max_frames=bucket,
+                prompt_features=pf,
+            )
             for r, wav in zip(chunk, wavs):
                 save_wav(os.path.join(args.out_dir, f"{r['id']}.wav"), wav)
                 audio_s += wav.shape[0] / HIFIGAN_SR

@@ -212,9 +212,29 @@ def _serve_fixture(tmp_path):
     t = np.arange(4000) / 16000
     save_wav(str(prompts / "p.wav"),
              (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32))
+
+    # tiny stage-2 prompt dataset (in-context prosody prompting surface):
+    # one cut for speaker spkA with latents at the tiny-PLM dims
+    from megatts2_tpu.data.manifest import Cut, CutManifest
+
+    prompt_ds = tmp_path / "prompt_ds"
+    (prompt_ds / "latents" / "spkA").mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    durs = [2, 3, 1, 2]  # 8 frames -> 1 code
+    tp = len(durs)
+    n_frames = sum(durs)
+    n_codes = -(-n_frames // 8)
+    cut = Cut(id="c0", speaker="spkA", duration=n_frames * 256 / 16000,
+              num_frames=n_frames, phone_tokens=["hello"] * tp,
+              duration_tokens=durs)
+    CutManifest([cut]).save(str(prompt_ds / "cuts_train.jsonl.gz"))
+    np.save(str(prompt_ds / "latents" / "spkA" / "c0.npy"),
+            {"tc_latent": rng.randn(1, tp, 16).astype(np.float32),
+             "p_code": rng.randint(0, 32, (1, 1, n_codes)).astype(np.int32)},
+            allow_pickle=True)
     return dict(gan=gan, plm=plm, adm=adm, voc=voc, sym=sym,
                 g_ck=g_ck, plm_ck=plm_ck, adm_ck=adm_ck,
-                prompts=str(prompts))
+                prompts=str(prompts), prompt_ds=str(prompt_ds))
 
 
 class TestServeEndToEnd:
@@ -230,8 +250,10 @@ class TestServeEndToEnd:
         reqs = str(tmp_path / "reqs.jsonl")
         with open(reqs, "w") as f:
             for i, txt in enumerate(["hello", "hello world", "hello world nice day"]):
-                f.write(json.dumps({"id": f"r{i}", "text": txt,
-                                    "wavs_dir": fx["prompts"]}) + "\n")
+                r = {"id": f"r{i}", "text": txt, "wavs_dir": fx["prompts"]}
+                if i == 0:  # one request with an in-context prosody prompt
+                    r["prompt_cuts"] = ["c0"]
+                f.write(json.dumps(r) + "\n")
         out_dir = str(tmp_path / "out")
 
         serve_main([
@@ -242,6 +264,7 @@ class TestServeEndToEnd:
             "--adm_ckpt", fx["adm_ck"], "--adm_config", fx["adm"],
             "--vocoder", "vocos", "--vocoder_config", fx["voc"],
             "--symbol_table", fx["sym"],
+            "--prompt_ds", fx["prompt_ds"], "--prompt_tokens", "16",
         ])
         captured = capsys.readouterr().out.strip().splitlines()
         stats = json.loads(captured[-1])
@@ -276,11 +299,11 @@ class TestServeEndToEnd:
             try:
                 port = server.server_address[1]
 
-                def post(txt):
+                def post(txt, **extra):
                     req = urllib.request.Request(
                         f"http://127.0.0.1:{port}/synthesize",
                         data=json.dumps(
-                            {"text": txt, "wavs_dir": fx["prompts"]}
+                            {"text": txt, "wavs_dir": fx["prompts"], **extra}
                         ).encode(),
                         headers={"Content-Type": "application/json"},
                     )
@@ -309,8 +332,9 @@ class TestServeEndToEnd:
                     except urllib.error.HTTPError as e:
                         assert e.code == want, (path, e.code)
                 with ThreadPoolExecutor(2) as ex:
-                    futs = [ex.submit(post, t)
-                            for t in ("hello world", "nice day")]
+                    # one plain + one with an in-context prosody prompt
+                    futs = [ex.submit(post, "hello world"),
+                            ex.submit(post, "nice day", prompt_cuts=["c0"])]
                     for i, fut in enumerate(futs):
                         results[i] = fut.result()
                 with urllib.request.urlopen(
@@ -336,6 +360,7 @@ class TestServeEndToEnd:
                 "--adm_ckpt", fx["adm_ck"], "--adm_config", fx["adm"],
                 "--vocoder", "vocos", "--vocoder_config", fx["voc"],
                 "--symbol_table", fx["sym"],
+                "--prompt_ds", fx["prompt_ds"], "--prompt_tokens", "16",
             ])
         finally:
             serve_mod.run_http = orig

@@ -102,6 +102,102 @@ class TestEngineEqualsSynthesize:
                 rtol=1e-4, atol=1e-4, err_msg=r["id"],
             )
 
+    def test_prompted_request_matches_synthesize(self):
+        """A request with an in-context prosody prompt (prompt_tokens>0,
+        per-slot prefill at admission) must equal the one-shot synthesize
+        with the same plm_prompt — including when it shares the engine
+        with an unprompted request."""
+        g_vars, plm_params, adm_params, hifi_params = _cascade_vars()
+        # the init-time VQ codebook is all-zeros (kmeans runs on the first
+        # TRAIN batch), which makes the mel code-INDEPENDENT and would let
+        # this test pass vacuously — install a random inited codebook so
+        # prosody codes actually steer the output
+        rng = np.random.RandomState(2)
+        cb = g_vars["vq_stats"]["vqpe"]["vq"]["layers_0"]["_codebook"]
+        embed = jnp.asarray(rng.randn(*cb["embed"].shape), jnp.float32)
+        g_vars = dict(g_vars)
+        g_vars["vq_stats"] = {"vqpe": {"vq": {"layers_0": {"_codebook": {
+            "embed": embed, "embed_avg": embed,
+            "cluster_size": jnp.ones_like(cb["cluster_size"]),
+            "inited": jnp.ones_like(cb["inited"]),
+        }}}}}
+        Pe = 16
+        D = TINY_PLM.tc_latent_dim
+        prompt_tc = rng.randn(Pe, D).astype(np.float32)
+        prompt_codes = rng.randint(0, TINY_PLM.vq_bins, (Pe,)).astype(np.int32)
+        reqs = []
+        for i, tp in enumerate((40, 24)):
+            r = {
+                "id": f"r{i}",
+                "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+                "lens": np.full((1,), tp, np.int32),
+                "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+            }
+            if i == 0:  # first request prompted, second BOS-only
+                r["prompt_tc"] = prompt_tc
+                r["prompt_codes"] = prompt_codes
+            reqs.append(r)
+
+        eng = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+            prompt_tokens=Pe,
+        )
+        got = dict(eng.run(list(reqs)))
+        assert set(got) == {"r0", "r1"}
+
+        for i, r in enumerate(reqs):
+            tp = r["phone"].shape[1]
+            Tp = -(-tp // 16) * 16
+            phone = np.zeros((1, Tp), np.int32)
+            phone[0, :tp] = r["phone"][0]
+            kw = {}
+            if "prompt_codes" in r:
+                kw = dict(
+                    plm_prompt_tc=jnp.asarray(prompt_tc[None]),
+                    plm_prompt_codes=jnp.asarray(prompt_codes[None]),
+                )
+            wav_full, _, n_frames = synthesize(
+                g_vars, plm_params, adm_params, hifi_params,
+                TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+                jnp.asarray(phone), jnp.asarray(r["lens"]),
+                jnp.asarray(r["mels_prompt"]),
+                max_frames=eng.Tmax, dtype=jnp.float32, **kw,
+            )
+            total = int(np.asarray(n_frames)[0]) * 256
+            assert got[r["id"]].shape[0] == total, r["id"]
+            np.testing.assert_allclose(
+                got[r["id"]], np.asarray(wav_full)[0, :total],
+                rtol=1e-4, atol=1e-4, err_msg=r["id"],
+            )
+        # the prompt must actually CHANGE the prosody decode: compare the
+        # SAME one-shot path with and without the prompt (an engine-vs-
+        # one-shot comparison would "differ" by mere chunking float noise)
+        r = reqs[0]
+        tp = r["phone"].shape[1]
+        Tp = -(-tp // 16) * 16
+        phone = np.zeros((1, Tp), np.int32)
+        phone[0, :tp] = r["phone"][0]
+        _, mel_np, _ = synthesize(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            jnp.asarray(phone), jnp.asarray(r["lens"]),
+            jnp.asarray(r["mels_prompt"]),
+            max_frames=eng.Tmax, dtype=jnp.float32,
+        )
+        _, mel_p, _ = synthesize(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            jnp.asarray(phone), jnp.asarray(r["lens"]),
+            jnp.asarray(r["mels_prompt"]),
+            max_frames=eng.Tmax, dtype=jnp.float32,
+            plm_prompt_tc=jnp.asarray(prompt_tc[None]),
+            plm_prompt_codes=jnp.asarray(prompt_codes[None]),
+        )
+        diff = float(np.max(np.abs(np.asarray(mel_p) - np.asarray(mel_np))))
+        assert diff > 1e-3, f"prompt did not change the decoded mel ({diff})"
+
     def test_slots_always_busy(self):
         """With more requests than slots the engine keeps every slot
         occupied until the queue drains (no head-of-line blocking)."""

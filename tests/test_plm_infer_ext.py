@@ -161,3 +161,28 @@ class TestPromptFeatureHelper:
         assert tc.shape[0] == 1 and codes.shape[0] == 1
         assert tc.shape[1] == codes.shape[1] == 2  # ceil(5/8) + ceil(5/8)
         assert tc.shape[2] == 16 and codes.dtype == np.int32
+
+        # resolve_prompt: speaker-pick path over a saved manifest
+        from megatts2_tpu.data import resolve_prompt
+
+        manifest.save(os.path.join(ds, "cuts_train.jsonl.gz"))
+        tc2, codes2 = resolve_prompt(ds, speaker="spk", n=2)
+        np.testing.assert_array_equal(tc2, tc)
+        np.testing.assert_array_equal(codes2, codes)
+
+    def test_fit_prompt_tiles_and_tail_truncates(self):
+        from megatts2_tpu.data import fit_prompt
+
+        rng = np.random.RandomState(0)
+        tc = rng.randn(5, 4).astype(np.float32)
+        codes = np.arange(5, dtype=np.int32)
+        # truncate: keeps the LAST tokens
+        t, c = fit_prompt(tc, codes, 3)
+        assert t.shape == (1, 3, 4) and c.shape == (1, 3)
+        np.testing.assert_array_equal(c[0], [2, 3, 4])
+        np.testing.assert_array_equal(t[0], tc[2:])
+        # extend: tiling, still ending on the original tail
+        t, c = fit_prompt(tc[None], codes, 8)  # batched input accepted
+        assert c.shape == (1, 8)
+        np.testing.assert_array_equal(c[0], [2, 3, 4, 0, 1, 2, 3, 4])
+        np.testing.assert_array_equal(t[0, -5:], tc)

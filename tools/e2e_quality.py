@@ -115,6 +115,29 @@ def main():
             "in_band": bool(in_band),
             "wav": out_path,
         }
+
+        # in-context prosody prompting (the PLM's training-time same-speaker
+        # prefix, wired through the product surface): prompted decode must
+        # (a) still land in the speaker's band, (b) actually change the
+        # prosody-code trajectory vs the BOS-only decode
+        from megatts2_tpu.data import resolve_prompt
+
+        pf = resolve_prompt(ds, speaker=spk, n=3)
+        out_p = os.path.join(out_dir, f"gen_{spk}_prompted.wav")
+        full_p = tts(pdir, args.text, out_path=out_p, prompt_features=pf)
+        gen_p = full_p[prompt_len:]
+        f0_p = dominant_f0(gen_p)
+        in_band_p = lo <= f0_p <= hi
+        ok = ok and in_band_p
+        n = min(gen.shape[0], gen_p.shape[0])
+        differs = not np.allclose(gen[:n], gen_p[:n])
+        report[spk]["prompted"] = {
+            "prompt_tokens": int(pf[1].shape[1]),
+            "generated_f0_hz": round(f0_p, 1),
+            "in_band": bool(in_band_p),
+            "differs_from_bos_decode": bool(differs),
+            "wav": out_p,
+        }
     report["timbre_transfer_ok"] = bool(ok)
     print(json.dumps(report))
 
