@@ -91,11 +91,20 @@ def adm_infer(
     dtype: Any = jnp.float32,
     unroll: int = 4,
     quant: bool = False,
+    fast: bool = True,
 ) -> jnp.ndarray:
     """Greedy batched duration decode → (B, T) int32 in [1, 128].
 
     ``quant=True`` expects int8 weight-only params from
     ``quantization.weight_only.quantize_tree`` (see plm.py docstring)."""
+    if fast:
+        # hand-scheduled twin (models/fast_decode.py): 2x on v5e (the ADM
+        # decode is cache-copy-bound, not weight-bound)
+        from .fast_decode import adm_fast_decode
+
+        return adm_fast_decode(
+            params, cfg, tc_latents, dtype=dtype, quant=quant, unroll=unroll
+        )
     B, T, _ = tc_latents.shape
     model = MegaADM(cfg, dtype=dtype, decode=True, max_decode_len=T, quant=quant)
 

@@ -114,6 +114,7 @@ def plm_infer(
     rng: jnp.ndarray | None = None,
     prompt_tc: jnp.ndarray | None = None,  # (B, P, D_tc), code rate
     prompt_codes: jnp.ndarray | None = None,  # (B, P) int32
+    fast: bool = True,
 ) -> jnp.ndarray:
     """Batched decode of prosody codes, (B, T) int32.
 
@@ -141,6 +142,34 @@ def plm_infer(
         raise ValueError("sampling (temperature > 0) requires rng")
     model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=P + T, quant=quant)
     bos = jnp.full((B,), cfg.bos_id, jnp.int32)
+
+    if fast:
+        # hand-scheduled twin of this loop (models/fast_decode.py): same
+        # math, no per-layer cache slice copies — 25.4 -> 17.1 ms (int8,
+        # B=8, 64 steps) on v5e; the flax scan below stays as the
+        # reference implementation (and the per-slot continuous path).
+        # NOTE: fast_decode carries its own tuned unroll default (1); the
+        # ``unroll`` arg here tunes only the scan path.
+        from .fast_decode import plm_fast_decode
+
+        init_cache, start_pos, prev0 = None, 0, None
+        if P > 0:
+            prev_prompt = jnp.concatenate([bos[:, None], prompt_codes[:, :-1]], axis=1)
+            _, cache = model.apply(
+                {"params": params},
+                prompt_tc,
+                prev_prompt,
+                method=MegaPLM.prefill,
+                mutable=["cache"],
+            )
+            att = cache["cache"]["plm"]["layers"]["attn"]
+            init_cache = (att["k"], att["v"])
+            start_pos, prev0 = P, prompt_codes[:, -1]
+        return plm_fast_decode(
+            params, cfg, tc_latent, dtype=dtype, quant=quant,
+            temperature=temperature, top_k=top_k, rng=rng,
+            init_cache=init_cache, start_pos=start_pos, prev0=prev0,
+        )
 
     def pick(logits: jnp.ndarray, t) -> jnp.ndarray:
         if temperature > 0:

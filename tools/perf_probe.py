@@ -259,6 +259,54 @@ def section_int8(reps: int = 5):
             }), flush=True)
 
 
+def section_fastdecode(reps: int = 5):
+    """fast_decode vs the flax decode scans at bench geometry (B=8, 64
+    steps): the hand-scheduled loop removes the per-layer cache
+    slice-in/out copies (see models/fast_decode.py)."""
+    from megatts2_tpu.models import MegaADM, MegaPLM
+    from megatts2_tpu.models.adm import adm_infer
+    from megatts2_tpu.models.fast_decode import adm_fast_decode, plm_fast_decode
+    from megatts2_tpu.models.plm import plm_infer
+    from megatts2_tpu.quantization.weight_only import quantize_tree
+
+    B, T = 8, 64
+    plm_cfg = MegaPLMConfig()
+    adm_cfg = MegaADMConfig(tc_emb_dim=512)
+    key = jax.random.PRNGKey(0)
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+    plm_fp = jax.jit(MegaPLM(plm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5), jnp.int32), jnp.asarray([4])
+    )["params"]
+    adm_fp = jax.jit(MegaADM(adm_cfg).init)(
+        key, jnp.zeros((1, 4, 512)), jnp.zeros((1, 5, 1)), jnp.asarray([4])
+    )["params"]
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.randn(B, T, 512).astype(np.float32))
+
+    cases = [
+        ("plm_scan_int8", plm_infer, quantize_tree(plm_fp), plm_cfg, True, {"fast": False}),
+        ("plm_fast_int8", plm_fast_decode, quantize_tree(plm_fp), plm_cfg, True, {}),
+        ("plm_scan_bf16", plm_infer, cast(plm_fp), plm_cfg, False, {"fast": False}),
+        ("plm_fast_bf16", plm_fast_decode, cast(plm_fp), plm_cfg, False, {}),
+        ("adm_scan_bf16", adm_infer, cast(adm_fp), adm_cfg, False, {"fast": False}),
+        ("adm_fast_bf16", adm_fast_decode, cast(adm_fp), adm_cfg, False, {}),
+        ("adm_fast_int8", adm_fast_decode, quantize_tree(adm_fp), adm_cfg, True, {}),
+    ]
+    for name, infer, params, cfg, quant, kw in cases:
+        def run(p, tc_in, infer=infer, cfg=cfg, quant=quant, kw=kw):
+            def body(c, _):
+                out = infer(p, cfg, c, dtype=jnp.bfloat16, quant=quant, **kw)
+                return c + 1e-6 * jnp.sum(out).astype(c.dtype), ()
+            cf, _ = jax.lax.scan(body, tc_in, None, length=reps)
+            return jnp.sum(cf.astype(jnp.float32))
+
+        dt = timeit(jax.jit(run), params, tc, iters=3) / reps
+        print(json.dumps({
+            "section": "fastdecode", "case": name, "B": B, "steps": T,
+            "ms": round(dt * 1e3, 2),
+        }), flush=True)
+
+
 def _full_models(quant: bool = True):
     """Full-size (reference-config) cascade params; PLM int8 when quant."""
     from megatts2_tpu.models import HiFiGAN, MegaADM, MegaG, MegaPLM
