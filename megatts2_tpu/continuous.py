@@ -45,26 +45,16 @@ from .models.streaming import (
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plm_cfg", "S", "Tc", "dtype", "quant")
+    jax.jit, static_argnames=("n_layers", "S", "Tc", "HD", "dtype")
 )
-def engine_init(plm_params, plm_cfg, S: int, Tc: int, dtype, quant: bool):
-    """Allocate the per-slot KV cache (zeros) by tracing one decode step.
-    ``Tc`` is the full cache length — generated-code budget plus the
-    engine's prompt budget when prosody prompting is enabled."""
-    model = MegaPLM(
-        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc, quant=quant,
-        per_slot=True,
-    )
-    D = plm_cfg.tc_latent_dim
-    _, cache = model.apply(
-        {"params": plm_params},
-        jnp.zeros((S, 1, D), jnp.float32),
-        jnp.zeros((S,), jnp.int32),
-        jnp.zeros((S,), jnp.int32),
-        method=MegaPLM.decode_step,
-        mutable=["cache"],
-    )
-    return jax.tree_util.tree_map(jnp.zeros_like, cache)
+def engine_init(n_layers: int, S: int, Tc: int, HD: int, dtype):
+    """Allocate the per-slot KV cache: per-layer (S, Tc, HD) buffer
+    tuples (the fast_decode layout — separate loop carries, in-place
+    one-token writes).  ``Tc`` is the full cache length — generated-code
+    budget plus the engine's prompt budget when prompting is enabled."""
+    k = tuple(jnp.zeros((S, Tc, HD), dtype) for _ in range(n_layers))
+    v = tuple(jnp.zeros((S, Tc, HD), dtype) for _ in range(n_layers))
+    return {"k": k, "v": v}
 
 
 @functools.partial(
@@ -96,47 +86,58 @@ def prefill_slots(
         method=MegaPLM.prefill,
         mutable=["cache"],
     )
-    return cache
+    att = cache["cache"]["plm"]["layers"]["attn"]
+    return {"k": att["k"], "v": att["v"]}  # (num_layers, A, L, HD) stacks
+
+
+def _admit_select(carry, slots):
+    """(match helpers) per engine slot: does the wave write it, and which
+    wave row wins (first match — duplicate padding rows are idempotent)."""
+    S = carry["prev"].shape[0]
+    match = slots[None, :] == jnp.arange(S, dtype=slots.dtype)[:, None]  # (S, A)
+    return match.any(axis=1), jnp.argmax(match, axis=1)
+
+
+def _admit_common(carry, has, wi, tc_plm_a, tc_expand_a, total_codes_a, prev_a):
+    S = has.shape[0]
+
+    def sel(new, old, n_extra):
+        m = has.reshape((S,) + (1,) * n_extra)
+        return jnp.where(m, new, old)
+
+    return dict(
+        carry,
+        tc_plm=sel(jnp.take(tc_plm_a, wi, axis=0).astype(carry["tc_plm"].dtype),
+                   carry["tc_plm"], 2),
+        tc_expand=sel(jnp.take(tc_expand_a, wi, axis=0).astype(carry["tc_expand"].dtype),
+                      carry["tc_expand"], 2),
+        codes=sel(jnp.zeros_like(carry["codes"]), carry["codes"], 1),
+        prev=sel(jnp.take(prev_a, wi), carry["prev"], 0),
+        pos=sel(jnp.zeros_like(carry["pos"]), carry["pos"], 0),
+        total=sel(jnp.take(total_codes_a, wi), carry["total"], 0),
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def admit_slots(
     carry: dict,
-    slots: jnp.ndarray,  # (A,) int32 target slots
+    slots: jnp.ndarray,  # (A,) int32 target slots (may repeat — first wins)
     tc_plm_a: jnp.ndarray,  # (A, Tc, D)
     tc_expand_a: jnp.ndarray,  # (A, Tf, H)
     total_codes_a: jnp.ndarray,  # (A,) int32
     bos: jnp.ndarray,  # scalar int32
 ):
     """Reset A slots in place and install their new requests' content —
-    ONE dispatch per admission group (prep is batched by the caller)."""
-
-    def one(carry, inp):
-        slot, tcp, tce, tot = inp
-        z = lambda l: jax.lax.dynamic_update_index_in_dim(
-            l, jnp.zeros_like(l[:, 0]), slot, axis=1
-        )
-        carry = dict(
-            carry,
-            cache=jax.tree_util.tree_map(z, carry["cache"]),
-            tc_plm=jax.lax.dynamic_update_slice(
-                carry["tc_plm"], tcp[None].astype(carry["tc_plm"].dtype), (slot, 0, 0)
-            ),
-            tc_expand=jax.lax.dynamic_update_slice(
-                carry["tc_expand"],
-                tce[None].astype(carry["tc_expand"].dtype),
-                (slot, 0, 0),
-            ),
-            codes=jax.lax.dynamic_update_index_in_dim(
-                carry["codes"], jnp.zeros_like(carry["codes"][0]), slot, axis=0
-            ),
-            prev=carry["prev"].at[slot].set(bos.astype(jnp.int32)),
-            pos=carry["pos"].at[slot].set(0),
-            total=carry["total"].at[slot].set(tot.astype(jnp.int32)),
-        )
-        return carry, ()
-
-    carry, _ = jax.lax.scan(one, carry, (slots, tc_plm_a, tc_expand_a, total_codes_a))
+    ONE dispatch per admission group (prep is batched by the caller).
+    Cache rows need no zeroing: the per-row causal mask attends positions
+    <= the slot's own decode position, every one of which the slot's own
+    steps rewrite first."""
+    has, wi = _admit_select(carry, slots)
+    prev_a = jnp.full(slots.shape, bos, jnp.int32)
+    carry = _admit_common(carry, has, wi, tc_plm_a, tc_expand_a,
+                          total_codes_a, prev_a)
+    if "plen" in carry:
+        carry["plen"] = jnp.where(has, 0, carry["plen"])
     return carry
 
 
@@ -149,52 +150,36 @@ def admit_slots_prompted(
     total_codes_a: jnp.ndarray,  # (A,) int32
     prev_a: jnp.ndarray,  # (A,) int32: BOS, or last prompt code
     plen_a: jnp.ndarray,  # (A,) int32 prompt length (0 = unprompted)
-    pf_cache: dict,  # prefill_slots output: k/v (num_layers, A, L, HD)
+    pf_cache: dict,  # prefill_slots output: flax stacks (num_layers, A, L, HD)
 ):
     """Admission with in-context prosody prompts: install each request's
     content AND its prefilled prompt KV rows in one dispatch.
 
-    Vectorized gather-select instead of the legacy per-slot scan: for each
-    engine slot, find its writer row in the wave (argmax over the match
-    matrix — duplicate padding rows are idempotent, first match wins) and
-    masked-select new vs old.  Unprompted rows (plen 0) carry junk prefill
-    K/V, which is safe: the per-slot causal mask attends positions
-    ``<= index`` and every position below the slot's index is rewritten by
-    the slot's own decode steps before it is ever attended."""
-    S = carry["prev"].shape[0]
-    match = slots[None, :] == jnp.arange(S, dtype=slots.dtype)[:, None]  # (S, A)
-    has = match.any(axis=1)
-    wi = jnp.argmax(match, axis=1)  # writer row per slot
-
-    def sel(new, old, n_extra):
-        m = has.reshape((S,) + (1,) * n_extra)
-        return jnp.where(m, new, old)
-
+    Vectorized gather-select: for each engine slot, find its writer row
+    in the wave (first match wins — duplicate padding rows are
+    idempotent) and masked-select new vs old.  Unprompted rows (plen 0)
+    carry junk prefill K/V, which is safe: the per-row causal mask
+    attends positions ``<= plen+pos`` and every position below is
+    rewritten by the slot's own decode steps before being attended."""
+    has, wi = _admit_select(carry, slots)
+    S = has.shape[0]
     plen_s = jnp.take(plen_a, wi)
 
-    def upd_cache(path, old, pf):
-        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if key == "index":
-            # engine (num_layers, S) ← per-slot prompt length; prefill's
-            # own scalar index is ignored (plen_a already encodes it)
-            return jnp.where(has[None, :], plen_s[None, :], old)
-        new = jnp.take(pf, wi, axis=1)  # (num_layers, S, L, HD)
-        return jnp.where(has[None, :, None, None], new, old)
+    k_stack, v_stack = pf_cache["k"], pf_cache["v"]  # (num_layers, A, L, HD)
 
-    cache = jax.tree_util.tree_map_with_path(upd_cache, carry["cache"], pf_cache)
-    return dict(
-        carry,
-        cache=cache,
-        tc_plm=sel(jnp.take(tc_plm_a, wi, axis=0).astype(carry["tc_plm"].dtype),
-                   carry["tc_plm"], 2),
-        tc_expand=sel(jnp.take(tc_expand_a, wi, axis=0).astype(carry["tc_expand"].dtype),
-                      carry["tc_expand"], 2),
-        codes=sel(jnp.zeros_like(carry["codes"]), carry["codes"], 1),
-        prev=sel(jnp.take(prev_a, wi), carry["prev"], 0),
-        pos=sel(jnp.zeros_like(carry["pos"]), carry["pos"], 0),
-        total=sel(jnp.take(total_codes_a, wi), carry["total"], 0),
-        plen=sel(plen_s, carry["plen"], 0),
-    )
+    def scatter(buf, stack, l):
+        new = jnp.take(stack[l], wi, axis=0).astype(buf.dtype)  # (S, L, HD)
+        return jnp.where(has[:, None, None], new, buf)
+
+    cache = {
+        "k": tuple(scatter(b, k_stack, l) for l, b in enumerate(carry["cache"]["k"])),
+        "v": tuple(scatter(b, v_stack, l) for l, b in enumerate(carry["cache"]["v"])),
+    }
+    carry = _admit_common(carry, has, wi, tc_plm_a, tc_expand_a,
+                          total_codes_a, prev_a)
+    carry["cache"] = cache
+    carry["plen"] = jnp.where(has, plen_s, carry["plen"])
+    return carry
 
 
 @functools.partial(
@@ -217,42 +202,21 @@ def engine_tick(
     the clamped last position, which nothing reads.  ``Pe`` is the static
     prompt budget: the cache is ``Tc + Pe`` long and a prompted slot's
     decode runs at absolute positions ``plen + pos`` (prompt in [0, plen),
-    written at admission by ``prefill_slots``/``admit_slots_prompted``)."""
-    model = MegaPLM(
-        plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc + Pe, quant=quant,
-        per_slot=True,
-    )
-    plen = carry.get("plen")
+    written at admission by ``prefill_slots``/``admit_slots_prompted``).
 
-    def step(st, _):
-        cache, prev, pos, codes = st
-        p = jnp.minimum(pos, Tc - 1)
-        tc_t = jnp.take_along_axis(carry["tc_plm"], p[:, None, None], axis=1)
-        logits, cache = model.apply(
-            {"params": plm_params, **cache},
-            tc_t,
-            prev,
-            p if plen is None else p + plen,  # absolute position
-            method=MegaPLM.decode_step,
-            mutable=["cache"],
-        )
-        code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        live = pos < carry["total"]
-        # dense masked write (TPU scatter avoidance, see transformer.py)
-        onehot = jnp.arange(Tc)[None, :] == p[:, None]
-        codes = jnp.where(onehot & live[:, None], code[:, None], codes)
-        prev = jnp.where(live, code, prev)
-        pos = jnp.where(live, pos + 1, pos)
-        return (cache, prev, pos, codes), ()
+    Body = ``fast_decode.plm_fast_tick`` (unrolled layers, per-layer
+    cache buffers as loop carries) — same re-schedule that took the batch
+    decode 25.4 → 17.1 ms on v5e (models/fast_decode.py)."""
+    from .models.fast_decode import plm_fast_tick
 
-    (cache, prev, pos, codes), _ = jax.lax.scan(
-        step,
-        (carry["cache"], carry["prev"], carry["pos"], carry["codes"]),
-        None,
-        length=K,
-        unroll=4,
+    cks, cvs, codes, prev, pos = plm_fast_tick(
+        plm_params, plm_cfg, carry["tc_plm"],
+        carry["cache"]["k"], carry["cache"]["v"],
+        carry["codes"], carry["prev"], carry["pos"], carry["plen"],
+        carry["total"], K, dtype=dtype, quant=quant,
     )
-    return dict(carry, cache=cache, prev=prev, pos=pos, codes=codes)
+    return dict(carry, cache={"k": cks, "v": cvs}, prev=prev, pos=pos,
+                codes=codes)
 
 
 @functools.partial(
@@ -396,9 +360,10 @@ class ContinuousEngine:
         self.quant = quant
         D = plm_cfg.tc_latent_dim
         H = g_cfg.mrte.hidden_size
+        n_layers = plm_params["plm"]["layers"]["norm1"]["scale"].shape[0]
         self.carry = dict(
             cache=engine_init(
-                plm_params, plm_cfg, slots, self.Tc + self.Pe, dtype, quant
+                n_layers, slots, self.Tc + self.Pe, plm_cfg.d_model, dtype
             ),
             tc_plm=jnp.zeros((slots, self.Tc, D), jnp.float32),
             tc_expand=jnp.zeros((slots, self.Tmax, H), jnp.float32),

@@ -246,6 +246,112 @@ def plm_fast_decode(
     return jnp.transpose(codes, (1, 0))  # (B, T)
 
 
+def _attend_cached_slots(q, cache_k, cache_v, p_abs, n_heads, dtype):
+    """Per-slot attention: row s attends cache positions <= p_abs[s]."""
+    B, L, HD = cache_k.shape
+    dh = HD // n_heads
+    qh = q.reshape(B, 1, n_heads, dh)
+    kh = cache_k.reshape(B, L, n_heads, dh)
+    vh = cache_v.reshape(B, L, n_heads, dh)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (dh ** -0.5)
+    mask = jnp.where(
+        jnp.arange(L)[None, None, None, :] <= p_abs[:, None, None, None],
+        jnp.float32(0.0), jnp.float32(-1e9),
+    )
+    probs = jax.nn.softmax(
+        (logits + mask).astype(jnp.float32), axis=-1
+    ).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+    return ctx.reshape(B, HD)
+
+
+def _layer_step_slots(x, w, ck, cv, p_abs, n_heads, dtype, quant):
+    """Per-slot layer step: cache writes at per-row positions (dense
+    one-hot select — TPU scatter avoidance, same trick as the flax
+    per_slot path in nn/transformer.py)."""
+    h = _layer_norm(x, *w["ln1"], dtype)
+    qkv = _dense(h, w["qkv_w"], dtype,
+                 w.get("qkv_s") if quant else None, w["qkv_b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    L = ck.shape[1]
+    onehot = (jnp.arange(L)[None, :] == p_abs[:, None])[:, :, None]
+    ck = jnp.where(onehot, k[:, None, :], ck)
+    cv = jnp.where(onehot, v[:, None, :], cv)
+    ctx = _attend_cached_slots(q, ck, cv, p_abs, n_heads, dtype)
+    x = x + _dense(ctx, w["out_w"], dtype,
+                   w.get("out_s") if quant else None, w["out_b"])
+    h = _layer_norm(x, *w["ln2"], dtype)
+    y = _dense(h, w["ff1_w"], dtype, w.get("ff1_s") if quant else None, w["ff1_b"])
+    y = nn.relu(y)
+    y = _dense(y, w["ff2_w"], dtype, w.get("ff2_s") if quant else None, w["ff2_b"])
+    return x + y, ck, cv
+
+
+def plm_fast_tick(
+    params: dict,
+    cfg: MegaPLMConfig,
+    tc_plm: jnp.ndarray,  # (S, Tc, D_tc)
+    cache_k: tuple,  # n_layers × (S, Tc+Pe, HD)
+    cache_v: tuple,
+    codes: jnp.ndarray,  # (S, Tc) int32
+    prev: jnp.ndarray,  # (S,) int32
+    pos: jnp.ndarray,  # (S,) int32 generated-code position
+    plen: jnp.ndarray,  # (S,) int32 prompt length (cache/pos offset)
+    total: jnp.ndarray,  # (S,) int32 codes to generate per slot
+    K: int,
+    dtype: Any = jnp.bfloat16,
+    quant: bool = False,
+) -> tuple:
+    """Advance every live slot K greedy prosody codes — the fast twin of
+    the flax per-slot ``continuous.engine_tick`` body (done slots freeze
+    their code buffer; clamped junk writes are never read).  Returns
+    ``(cache_k, cache_v, codes, prev, pos)``."""
+    S, Tc, _ = tc_plm.shape
+    c = cfg
+    layers = params["plm"]["layers"]
+    n_layers = layers["norm1"]["scale"].shape[0]
+    w_layers = [_layer_weights(layers, l, quant) for l in range(n_layers)]
+    embed_tbl = params["pc_embedding"]["embedding"]
+    pred = params["predict_layer"]
+    pe = jnp.asarray(sinusoidal_table(8192, c.d_model), dtype)
+    tc = tc_plm.astype(dtype)
+
+    def step(carry, _):
+        cks, cvs, codes, prev, pos = carry
+        p = jnp.minimum(pos, Tc - 1)
+        p_abs = p + plen
+        tc_t = jnp.take_along_axis(tc, p[:, None, None], axis=1)[:, 0]
+        x = jnp.concatenate(
+            [tc_t, jnp.take(embed_tbl.astype(dtype), prev, axis=0)], axis=-1
+        )
+        x = x + jnp.take(pe, p_abs, axis=0)
+        new_ck, new_cv = [], []
+        for l in range(n_layers):
+            x, ck, cv = _layer_step_slots(
+                x, w_layers[l], cks[l], cvs[l], p_abs, c.n_heads, dtype, quant
+            )
+            new_ck.append(ck)
+            new_cv.append(cv)
+        if quant:
+            logits = _dense(x, pred["kernel_q"], dtype, pred["scale"], None)
+        else:
+            logits = _dense(x, pred["kernel"], dtype)
+        code = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        live = pos < total
+        onehot = jnp.arange(Tc)[None, :] == p[:, None]
+        codes = jnp.where(onehot & live[:, None], code[:, None], codes)
+        prev = jnp.where(live, code, prev)
+        pos = jnp.where(live, pos + 1, pos)
+        return (tuple(new_ck), tuple(new_cv), codes, prev, pos), ()
+
+    (cks, cvs, codes, prev, pos), _ = jax.lax.scan(
+        step, (tuple(cache_k), tuple(cache_v), codes, prev, pos), None, length=K
+    )
+    return cks, cvs, codes, prev, pos
+
+
 def adm_fast_decode(
     params: dict,
     cfg: MegaADMConfig,

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Input-pipeline benchmark at corpus scale (round-2 verdict item 4).
+
+Generates a synthetic corpus of ``--n_speakers × --n_per_spk`` utterances
+(default 50×200 = 10k utts, ~8.9 h of audio), drives the REAL offline
+pipeline (``prepare_ds`` stages 0+1) through its public API, then
+benchmarks the training-side input path:
+
+* stage-0/1 throughput (files/s) at each ``--workers`` setting;
+* ``GANBatchBuilder`` batches/s — native C++ prefetch ring vs pure numpy;
+* (``--gan_steps N``) loader-fed FULL-SIZE GAN train steps/s on the
+  device, i.e. whether this host can keep the measured device-bound
+  step rate fed.
+
+Prints one JSON line per measurement.  Reference counterpart:
+``prepare_ds.py:211-217`` + ``modules/datamodule.py:346-376`` (lhotse
+DynamicBucketingSampler + HDF5 workers — never benchmarked there).
+
+    python tools/bench_input_pipeline.py --root /tmp/pipe10k \\
+        --n_speakers 50 --n_per_spk 200 --workers 1,2,4 --gan_steps 60
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def build_corpus(root: str, n_speakers: int, n_per_spk: int, seed: int = 0,
+                 dur_s: float = 3.2) -> tuple:
+    """Harmonic-stack corpus (train_curve.build_corpus at scale): speaker
+    f0s spread over 85–300 Hz, constant duration (one jit shape)."""
+    from megatts2_tpu.utils.audio import save_wav
+
+    wavs = os.path.join(root, "wavs")
+    tgs = os.path.join(root, "textgrids")
+    ds = os.path.join(root, "ds")
+    os.makedirs(ds, exist_ok=True)
+    words = ["hello", "world", "nice", "day", "of", "speech"]
+    rng = np.random.RandomState(seed)
+    sr = 16000
+    n = int(dur_s * sr)
+    t = np.arange(n) / sr
+    t0 = time.time()
+    total = 0
+    for spk_i in range(n_speakers):
+        spk = f"spk{spk_i:03d}"
+        os.makedirs(os.path.join(wavs, spk), exist_ok=True)
+        os.makedirs(os.path.join(tgs, spk), exist_ok=True)
+        f0_base = 85.0 * (300.0 / 85.0) ** (spk_i / max(n_speakers - 1, 1))
+        seg = dur_s / len(words)
+        iv = "".join(
+            f"""        intervals [{j+1}]:
+            xmin = {j*seg}
+            xmax = {(j+1)*seg}
+            text = "{w}"
+"""
+            for j, w in enumerate(words)
+        )
+        tg_body = (
+            'File type = "ooTextFile"\nObject class = "TextGrid"\n'
+            f"xmin = 0\nxmax = {dur_s}\ntiers? <exists>\nsize = 1\nitem []:\n"
+            "    item [1]:\n"
+            '        class = "IntervalTier"\n        name = "phones"\n'
+            f"        xmin = 0\n        xmax = {dur_s}\n"
+            f"        intervals: size = {len(words)}\n" + iv
+        )
+        for i in range(n_per_spk):
+            f0 = f0_base * (1 + 0.05 * rng.rand())
+            y = sum(
+                (0.4 / h) * np.sin(2 * np.pi * f0 * h * t + rng.rand() * 6.28)
+                for h in range(1, 4)
+            )
+            y *= 0.5 + 0.5 * np.sin(2 * np.pi * (2 + rng.rand()) * t) ** 2
+            y = (y + 0.01 * rng.randn(n)).astype(np.float32)
+            y /= np.abs(y).max() + 1e-6
+            uid = f"{spk}_u{i}"
+            save_wav(os.path.join(wavs, spk, uid + ".wav"), y)
+            open(os.path.join(wavs, spk, uid + ".txt"), "w").write(" ".join(words))
+            open(os.path.join(tgs, spk, uid + ".TextGrid"), "w").write(tg_body)
+            total += 1
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": "corpus_gen", "utterances": total,
+        "audio_hours": round(total * dur_s / 3600, 2),
+        "wall_s": round(dt, 1), "files_per_s": round(total / dt, 1),
+    }), flush=True)
+    return wavs, tgs, ds
+
+
+def run_stage(stage: int, wavs: str, tgs: str, ds: str, workers: int,
+              n_files: int, generator_ckpt: str = "") -> None:
+    from megatts2_tpu.prepare_ds import main as prep_main
+
+    argv = [
+        "--stage", str(stage), "--wavtxt_path", wavs, "--text_grid_path", tgs,
+        "--ds_path", ds, "--num_workers", str(workers),
+    ]
+    if generator_ckpt:
+        argv += ["--generator_ckpt", generator_ckpt,
+                 "--generator_config", "configs/config_gan.yaml"]
+    t0 = time.time()
+    prep_main(argv)
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": f"prepare_ds_stage{stage}", "workers": workers,
+        "files": n_files, "wall_s": round(dt, 1),
+        "files_per_s": round(n_files / dt, 1),
+    }), flush=True)
+
+
+def bench_loader(ds: str, n_batches: int = 50) -> None:
+    """GANBatchBuilder batches/s: native prefetch ring vs pure numpy."""
+    from megatts2_tpu.data import CutManifest, DataLoader, DurationBucketSampler
+    from megatts2_tpu.data.datasets import GANBatchBuilder
+
+    manifest = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
+    for use_native in (True, False):
+        builder = GANBatchBuilder(manifest, ds, use_native=use_native)
+        native_ok = builder.native is not None
+        sampler = DurationBucketSampler(
+            manifest, max_duration_batch=8 * 3.2 + 0.1, num_buckets=1, seed=0
+        )
+        loader = DataLoader(sampler, builder, prefetch=2)
+        it = iter(loader)
+        batch = next(it)  # warm (mmap open, ring alloc)
+        nbytes = sum(v.nbytes for v in batch.values())
+        t0 = time.time()
+        got = 0
+        for batch in it:
+            got += 1
+            if got >= n_batches:
+                break
+        dt = time.time() - t0
+        print(json.dumps({
+            "bench": "gan_batch_builder",
+            "native_ring": bool(use_native and native_ok),
+            "batches": got, "batch_mb": round(nbytes / 1e6, 2),
+            "batches_per_s": round(got / dt, 2),
+            "mb_per_s": round(got * nbytes / 1e6 / dt, 1),
+        }), flush=True)
+
+
+def bench_gan_steps(ds: str, steps: int) -> None:
+    """Loader-fed FULL-SIZE GAN train steps/s on the device: does the
+    1-core host keep the device-bound rate (~20 steps/s on v5e) fed?"""
+    import jax
+    import jax.numpy as jnp
+
+    from megatts2_tpu.config import DiscriminatorConfig, MegaGConfig, TrainConfig
+    from megatts2_tpu.data import CutManifest, DataLoader, DurationBucketSampler
+    from megatts2_tpu.data.datasets import GANBatchBuilder
+    from megatts2_tpu.training import create_gan_state, make_gan_train_step
+
+    manifest = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
+    builder = GANBatchBuilder(manifest, ds, use_native=True)
+    sampler = DurationBucketSampler(
+        manifest, max_duration_batch=8 * 3.2 + 0.1, num_buckets=1, seed=0
+    )
+    g_cfg = MegaGConfig()
+    d_cfg = DiscriminatorConfig()
+    tcfg = TrainConfig(train_dtype="bfloat16", max_steps=600_000)
+    loader = DataLoader(sampler, builder, prefetch=4)
+    it = iter(loader)
+    first = next(it)
+    state, g_tx, d_tx = create_gan_state(
+        jax.random.PRNGKey(0), g_cfg, d_cfg, tcfg, first
+    )
+    step = jax.jit(make_gan_train_step(g_cfg, d_cfg, tcfg, g_tx, d_tx),
+                   donate_argnums=(0,))
+    state, m = step(state, {k: jnp.asarray(v) for k, v in first.items()})
+    jax.block_until_ready(m["G_loss_total"])
+    t0 = time.time()
+    done = 0
+    while done < steps:
+        for batch in it:
+            state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            done += 1
+            if done >= steps:
+                break
+        else:
+            it = iter(loader)  # re-run epochs until `steps` reached
+    jax.block_until_ready(m["G_loss_total"])
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": "gan_loader_fed_steps", "steps": done,
+        "steps_per_s": round(done / dt, 2),
+        "wall_s": round(dt, 1),
+        "note": "full-size config, loader + upload + device step",
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--n_speakers", type=int, default=50)
+    ap.add_argument("--n_per_spk", type=int, default=200)
+    ap.add_argument("--workers", default="1,4",
+                    help="stage-1 worker counts to sweep (each is a full "
+                         "re-run of the stage — keep the list short)")
+    ap.add_argument("--skip_gen", action="store_true",
+                    help="corpus already generated under --root")
+    ap.add_argument("--skip_prep", action="store_true")
+    ap.add_argument("--loader_batches", type=int, default=50)
+    ap.add_argument("--gan_steps", type=int, default=0,
+                    help=">0: loader-fed full-size GAN steps on the device")
+    args = ap.parse_args()
+
+    from megatts2_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+    wavs = os.path.join(args.root, "wavs")
+    tgs = os.path.join(args.root, "textgrids")
+    ds = os.path.join(args.root, "ds")
+    n_files = args.n_speakers * args.n_per_spk
+    if not args.skip_gen:
+        wavs, tgs, ds = build_corpus(args.root, args.n_speakers, args.n_per_spk)
+    if not args.skip_prep:
+        run_stage(0, wavs, tgs, ds, 1, n_files)
+        worker_list = [int(w) for w in args.workers.split(",")]
+        for w in worker_list:
+            run_stage(1, wavs, tgs, ds, w, n_files)
+    bench_loader(ds, args.loader_batches)
+    if args.gan_steps:
+        bench_gan_steps(ds, args.gan_steps)
+
+
+if __name__ == "__main__":
+    main()
