@@ -1,16 +1,26 @@
-"""End-to-end quality drive on a FULLY self-trained stack.
+"""End-to-end quality harness on a FULLY self-trained stack.
 
 Takes the checkpoint root of a ``tools/train_curve.py --stages
-gan,vocoder,plm,adm`` run (every component — VQ-GAN, duration model,
-prosody LM, Vocos vocoder — trained from scratch in-repo on the synthetic
-2-speaker corpus; zero external weights) and runs zero-shot synthesis
-through the real ``Megatts`` surface with prompts from each speaker.
+gan,vocoder,plm,adm`` run (every component trained from scratch in-repo;
+zero external weights) and measures zero-shot synthesis quality through
+the real ``Megatts`` surface, for EVERY corpus speaker:
 
-Objective check: the corpus speakers occupy disjoint f0 bands
-(spkA ≈ 110–143 Hz, spkB ≈ 220–286 Hz — train_curve.build_corpus), so
-zero-shot timbre transfer is measurable: the dominant f0 of the
-*generated* audio must land in the prompt speaker's band for BOTH
-speakers.  Prints one JSON line with the measured f0s and the verdict.
+* **timbre transfer** — each speaker's f0 band is estimated FROM THE
+  CORPUS (median dominant f0 of their utterances ± tolerance); the
+  generated audio's f0 must land in the prompt speaker's band, and the
+  nearest-band classification over all speakers must pick the prompt
+  speaker (speaker-separation accuracy);
+* **mel-cepstral distortion (MCD)** — DTW-aligned MCD between the
+  generated utterance and a same-speaker corpus rendition of the same
+  words (the synthetic corpus is single-sentence, so ground truth
+  exists);
+* **duration MAE** — ADM-predicted durations vs the ground-truth
+  duration tokens of a corpus cut (frames/phone);
+* **prompted-vs-BOS decode** — the in-context prosody prompt must
+  change the decode and stay in band.
+
+Prints one JSON line.  The reference's only quality artifact is a mel
+picture in a filename (``examples/mel_step_400k_re_loss_0.4771.png``).
 
     python tools/e2e_quality.py --root /tmp/full_drive
 """
@@ -38,12 +48,52 @@ def dominant_f0(y: np.ndarray, sr: int = 16000, lo: float = 60.0, hi: float = 40
     return float(freqs[band][np.argmax(spec[band])])
 
 
+def mfcc_from_mel(logmel: np.ndarray, n_coef: int = 13) -> np.ndarray:
+    """(T, n_mels) log-mel → (T, n_coef) cepstra via DCT-II (c1..c13)."""
+    from scipy.fftpack import dct
+
+    return dct(logmel, type=2, axis=-1, norm="ortho")[:, 1 : n_coef + 1]
+
+
+def dtw_mcd(c_ref: np.ndarray, c_gen: np.ndarray) -> float:
+    """Mel-cepstral distortion (dB): mean frame distance along the DTW
+    alignment path (standard 10*sqrt(2)/ln10 scaling)."""
+    Tr, Tg = c_ref.shape[0], c_gen.shape[0]
+    d = np.sqrt(
+        ((c_ref[:, None, :] - c_gen[None, :, :]) ** 2).sum(-1)
+    )  # (Tr, Tg) frame distances
+    INF = np.inf
+    acc = np.full((Tr + 1, Tg + 1), INF)
+    steps = np.zeros((Tr + 1, Tg + 1), np.int64)
+    acc[0, 0] = 0.0
+    for i in range(1, Tr + 1):
+        ai, ai1, di = acc[i], acc[i - 1], d[i - 1]
+        si, si1 = steps[i], steps[i - 1]
+        for j in range(1, Tg + 1):
+            best = ai1[j - 1]
+            sbest = si1[j - 1]
+            if ai1[j] < best:
+                best, sbest = ai1[j], si1[j]
+            if ai[j - 1] < best:
+                best, sbest = ai[j - 1], si[j - 1]
+            ai[j] = di[j - 1] + best
+            si[j] = sbest + 1
+    return float(
+        10.0 * np.sqrt(2.0) / np.log(10.0) * acc[Tr, Tg] / max(steps[Tr, Tg], 1)
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="train_curve --root dir")
     ap.add_argument("--out_dir", default=None)
-    ap.add_argument("--text", default="hello world nice day")
+    ap.add_argument("--text", default="hello world nice day of speech",
+                    help="default = the corpus sentence (enables MCD vs "
+                         "ground truth)")
     ap.add_argument("--max_frames", type=int, default=512)
+    ap.add_argument("--n_prompt_wavs", type=int, default=3)
+    ap.add_argument("--band_tol", type=float, default=0.25,
+                    help="speaker band = corpus median f0 ± tol (fraction)")
     args = ap.parse_args()
 
     from megatts2_tpu import enable_compilation_cache
@@ -52,14 +102,22 @@ def main():
 
     import jax.numpy as jnp
 
-    from megatts2_tpu.config import load_gan_config, load_plm_config, load_adm_config, load_vocoder_config
+    from megatts2_tpu.config import (
+        load_adm_config,
+        load_gan_config,
+        load_plm_config,
+        load_vocoder_config,
+    )
+    from megatts2_tpu.data import resolve_prompt
     from megatts2_tpu.models import Megatts
+    from megatts2_tpu.ops import mel_spectrogram
     from megatts2_tpu.training.checkpoints import (
         best_checkpoint,
         load_generator_from_orbax,
         load_vocoder_from_orbax,
         restore_pytree,
     )
+    from megatts2_tpu.utils.audio import load_wav
 
     root = args.root
     ds = os.path.join(root, "ds")
@@ -84,61 +142,125 @@ def main():
         max_frames=args.max_frames, dtype=jnp.bfloat16,
     )
 
-    # speaker f0 bands of the synthetic corpus (train_curve.build_corpus)
-    bands = {"spkA": (95.0, 160.0), "spkB": (200.0, 310.0)}
-    report = {"root": root, "text": args.text}
-    ok = True
-    for spk, (lo, hi) in bands.items():
-        wavs = sorted(glob.glob(os.path.join(root, "wavs", spk, "*.wav")))[:3]
+    # ---- per-speaker corpus statistics (bands from the data, no
+    # hardcoding — scales to any corpus the generator produced) ----
+    speakers = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "wavs", "*"))
+        if os.path.isdir(p)
+    )
+    spk_wavs = {
+        s: sorted(glob.glob(os.path.join(root, "wavs", s, "*.wav")))
+        for s in speakers
+    }
+    spk_f0 = {
+        s: float(np.median([dominant_f0(load_wav(w)) for w in ws[:6]]))
+        for s, ws in spk_wavs.items()
+    }
+
+    # ground-truth duration tokens + reference mel (any corpus cut; the
+    # corpus is single-sentence so every cut renders args.text's words)
+    from megatts2_tpu.data import load_prompt_manifest
+
+    manifest = load_prompt_manifest(ds)
+    cut_by_spk = {}
+    for c in manifest:
+        cut_by_spk.setdefault(c.speaker, c)
+
+    import shutil
+
+    report = {"root": root, "text": args.text, "speaker_f0_hz": {
+        s: round(f, 1) for s, f in spk_f0.items()}}
+    per_spk = {}
+    correct = 0
+    mcds, dur_maes = [], []
+    prompted_ok = prompted_diff = 0
+    for spk in speakers:
+        lo, hi = spk_f0[spk] * (1 - args.band_tol), spk_f0[spk] * (1 + args.band_tol)
+        wavs = spk_wavs[spk][: args.n_prompt_wavs]
         pdir = os.path.join(out_dir, f"prompt_{spk}")
         os.makedirs(pdir, exist_ok=True)
-        import shutil
-
         for w in wavs:
             dst = os.path.join(pdir, os.path.basename(w))
             if not os.path.exists(dst):
                 shutil.copy(w, dst)
         out_path = os.path.join(out_dir, f"gen_{spk}.wav")
         full = tts(pdir, args.text, out_path=out_path)
-        # measure the GENERATED tail only (the prompt is prepended)
-        from megatts2_tpu.utils.audio import load_wav
-
         prompt_len = load_wav(wavs[0]).shape[0]
         gen = full[prompt_len:]
         f0 = dominant_f0(gen)
         in_band = lo <= f0 <= hi
-        ok = ok and in_band
-        report[spk] = {
-            "prompt_band_hz": [lo, hi],
-            "generated_f0_hz": round(f0, 1),
-            "generated_s": round(gen.shape[0] / 16000, 2),
-            "in_band": bool(in_band),
-            "wav": out_path,
-        }
+        # nearest-band speaker classification
+        pred = min(spk_f0, key=lambda s: abs(spk_f0[s] - f0))
+        correct += pred == spk
 
-        # in-context prosody prompting (the PLM's training-time same-speaker
-        # prefix, wired through the product surface): prompted decode must
-        # (a) still land in the speaker's band, (b) actually change the
-        # prosody-code trajectory vs the BOS-only decode
-        from megatts2_tpu.data import resolve_prompt
+        # MCD vs a same-speaker corpus rendition (13 cepstra, DTW)
+        ref_wav = load_wav(spk_wavs[spk][-1])
+        c_ref = mfcc_from_mel(np.asarray(mel_spectrogram(jnp.asarray(ref_wav))))
+        c_gen = mfcc_from_mel(np.asarray(mel_spectrogram(jnp.asarray(gen))))
+        mcd = dtw_mcd(c_ref, c_gen) if c_gen.shape[0] > 8 else float("nan")
+        mcds.append(mcd)
 
+        # duration MAE: ADM predictions on a corpus cut's phones vs its
+        # ground-truth duration tokens (same prompt mels)
+        cut = cut_by_spk[spk]
+        ids = np.array(
+            [tts.token2idx[p] for p in cut.phone_tokens
+             if not (p in ("_", "-") and p not in tts.token2idx)],
+            np.int32,
+        )
+        mels = [np.asarray(mel_spectrogram(jnp.asarray(load_wav(w)))) for w in wavs]
+        mel_prompt = np.concatenate(mels, axis=0)[None]
+        from megatts2_tpu.models import MegaG
+        from megatts2_tpu.models.adm import adm_infer
+
+        g = MegaG(g_cfg, dtype=jnp.bfloat16)
+        tc = g.apply(
+            tts.g_vars, jnp.asarray(ids[None]), jnp.asarray(mel_prompt),
+            jnp.asarray([ids.size]),
+            method=lambda m, p, mel, pl: m.mrte.tc_latent(p, mel, pl),
+        )
+        dt = np.asarray(adm_infer(
+            tts.adm_params, adm_cfg, tc.astype(jnp.float32), dtype=jnp.bfloat16
+        ))[0, : ids.size]
+        true_dt = np.asarray(cut.duration_tokens[: ids.size], np.float64)
+        dur_mae = float(np.abs(dt[: true_dt.size] - true_dt).mean())
+        dur_maes.append(dur_mae)
+
+        # prompted decode: must stay in band and differ from BOS-only
         pf = resolve_prompt(ds, speaker=spk, n=3)
         out_p = os.path.join(out_dir, f"gen_{spk}_prompted.wav")
         full_p = tts(pdir, args.text, out_path=out_p, prompt_features=pf)
         gen_p = full_p[prompt_len:]
         f0_p = dominant_f0(gen_p)
         in_band_p = lo <= f0_p <= hi
-        ok = ok and in_band_p
-        n = min(gen.shape[0], gen_p.shape[0])
-        differs = not np.allclose(gen[:n], gen_p[:n])
-        report[spk]["prompted"] = {
-            "prompt_tokens": int(pf[1].shape[1]),
-            "generated_f0_hz": round(f0_p, 1),
-            "in_band": bool(in_band_p),
-            "differs_from_bos_decode": bool(differs),
-            "wav": out_p,
+        nmin = min(gen.shape[0], gen_p.shape[0])
+        differs = not np.allclose(gen[:nmin], gen_p[:nmin])
+        prompted_ok += in_band_p
+        prompted_diff += differs
+
+        per_spk[spk] = {
+            "band_hz": [round(lo, 1), round(hi, 1)],
+            "generated_f0_hz": round(f0, 1),
+            "in_band": bool(in_band),
+            "classified_as": pred,
+            "mcd_db": round(mcd, 2),
+            "duration_mae_frames": round(dur_mae, 2),
+            "prompted_f0_hz": round(f0_p, 1),
+            "prompted_in_band": bool(in_band_p),
+            "prompted_differs": bool(differs),
         }
-    report["timbre_transfer_ok"] = bool(ok)
+
+    n = len(speakers)
+    report["speakers"] = per_spk
+    report["n_speakers"] = n
+    report["speaker_classification_acc"] = round(correct / n, 3)
+    report["mcd_db_mean"] = round(float(np.nanmean(mcds)), 2)
+    report["duration_mae_frames_mean"] = round(float(np.mean(dur_maes)), 2)
+    report["prompted_in_band_frac"] = round(prompted_ok / n, 3)
+    report["prompted_differs_frac"] = round(prompted_diff / n, 3)
+    report["timbre_transfer_ok"] = bool(
+        all(v["in_band"] for v in per_spk.values())
+    )
     print(json.dumps(report))
 
 

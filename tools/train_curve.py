@@ -93,12 +93,20 @@ def main():
                          "stage-2 extraction off the trained GAN ckpt")
     ap.add_argument("--val_every", type=int, default=200)
     ap.add_argument("--n_per_spk", type=int, default=24)
+    ap.add_argument("--n_speakers", type=int, default=2,
+                    help=">2 uses the scaled corpus generator "
+                         "(tools/bench_input_pipeline.py, log-spread f0s)")
     ap.add_argument("--root", default=None)
     args = ap.parse_args()
     stages = args.stages.split(",")
 
     root = args.root or tempfile.mkdtemp(prefix="megatts_curve_")
-    wavs, tgs, ds = build_corpus(root, args.n_per_spk)
+    if args.n_speakers != 2:
+        from tools.bench_input_pipeline import build_corpus as build_scaled
+
+        wavs, tgs, ds = build_scaled(root, args.n_speakers, args.n_per_spk)
+    else:
+        wavs, tgs, ds = build_corpus(root, args.n_per_spk)
 
     from megatts2_tpu.prepare_ds import main as prep_main
 
