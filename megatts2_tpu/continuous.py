@@ -222,17 +222,78 @@ def engine_tick(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plm_cfg", "g_cfg", "hifi_cfg", "K", "Tc", "F", "rv", "rd", "dtype",
-        "quant", "Pe",
+        "g_cfg", "adm_cfg", "plm_cfg", "Tmax", "Tc", "rv", "rd", "dtype",
+        "quant", "prompted", "Pe",
+    ),
+    donate_argnums=(4,),
+)
+def prep_admit(
+    g_vars,
+    adm_params,
+    plm_params,
+    bos,  # scalar int32 array
+    carry: dict,
+    slots: jnp.ndarray,  # (A,)
+    phone: jnp.ndarray,  # (A, Tp) — ONE shared static bucket
+    lens: jnp.ndarray,  # (A,)
+    mels: jnp.ndarray,  # (A, Tm, 80)
+    ptc: jnp.ndarray,  # (A, Pe, D) prompt latents (zeros when unprompted)
+    prev_prompt: jnp.ndarray,  # (A, Pe)
+    prev_a: jnp.ndarray,  # (A,)
+    plen_a: jnp.ndarray,  # (A,)
+    g_cfg: MegaGConfig,
+    adm_cfg: MegaADMConfig,
+    plm_cfg: MegaPLMConfig,
+    Tmax: int,
+    Tc: int,
+    rv: int,
+    rd: int,
+    dtype,
+    quant: bool,
+    prompted: bool,
+    Pe: int,
+):
+    """Fused admission: content prep (MRTE → ADM → regulate → pool)
+    [+ prompt prefill] + slot install in ONE dispatch.
+
+    Requires a single static phone bucket for the whole wave
+    (``ContinuousEngine(admit_tp_bucket=...)``) — per-request pow-16
+    buckets need one prep dispatch per bucket, which dominated offline
+    engine wall time on the tunnel target (~3 dispatches per admission
+    wave).  Returns ``(carry, n_frames)`` — the host syncs only the tiny
+    ``n_frames`` vector to plan emits."""
+    tce, tcp, nf = stream_prep.__wrapped__(
+        g_vars, adm_params, g_cfg, adm_cfg, phone, lens, mels, Tmax, dtype
+    )
+    total_codes = jnp.minimum(
+        Tc, -(-jnp.minimum(nf + rv + rd, Tmax) // 8)
+    ).astype(jnp.int32)
+    if prompted:
+        pf = prefill_slots.__wrapped__(
+            plm_params, ptc, prev_prompt, plm_cfg, Tc + Pe, dtype, quant
+        )
+        carry = admit_slots_prompted.__wrapped__(
+            carry, slots, tcp, tce, total_codes, prev_a, plen_a, pf
+        )
+    else:
+        carry = admit_slots.__wrapped__(carry, slots, tcp, tce, total_codes, bos)
+    return carry, nf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plm_cfg", "g_cfg", "hifi_cfg", "K", "Tc", "F", "rv", "rd", "N",
+        "dtype", "quant", "Pe",
     ),
     donate_argnums=(3,),
 )
-def engine_tick_emit(
+def engine_tick_emit_multi(
     plm_params,
     g_vars,
     hifi_params,
     carry: dict,
-    a_vec: jnp.ndarray,  # (S,) per-slot frame starts for this tick's emit
+    a_mat: jnp.ndarray,  # (N, S) per-tick, per-slot emit frame starts
     plm_cfg: MegaPLMConfig,
     g_cfg: MegaGConfig,
     hifi_cfg: HiFiGANConfig,
@@ -241,22 +302,30 @@ def engine_tick_emit(
     F: int,
     rv: int,
     rd: int,
+    N: int,
     dtype,
     quant: bool,
     Pe: int = 0,
 ):
-    """Fused tick + emit: ONE dispatch advances every slot K codes and
-    produces this tick's audio chunks.  The host can pass ``a_vec``
-    up-front because the schedule is deterministic (codes advance exactly
-    K per tick), so nothing needs a round trip between decode and emit —
-    on a tunneled target every saved dispatch is ~75 ms."""
-    carry = engine_tick.__wrapped__(
-        plm_params, carry, plm_cfg, K, Tc, dtype, quant, Pe
-    )
-    wavs = emit_slots.__wrapped__(
-        g_vars, hifi_params, g_cfg, hifi_cfg, carry, a_vec, F, rv, rd, dtype
-    )
-    return carry, wavs
+    """``N`` fused ticks in ONE dispatch → wavs (N, S, F·hop).
+
+    The per-tick schedule is deterministic (codes advance exactly K per
+    tick), so when no admission can occur for the next N ticks the host
+    precomputes every tick's emit plan (``a_mat``) and pays ONE dispatch
+    round trip instead of N — on this tunnel target each saved dispatch
+    is ~75 ms, which is what made the offline engine 3× slower than
+    bucketed batches (BENCHMARKS.md round-2 honest numbers)."""
+
+    def one(carry, a_vec):
+        carry = engine_tick.__wrapped__(
+            plm_params, carry, plm_cfg, K, Tc, dtype, quant, Pe
+        )
+        wavs = emit_slots.__wrapped__(
+            g_vars, hifi_params, g_cfg, hifi_cfg, carry, a_vec, F, rv, rd, dtype
+        )
+        return carry, wavs
+
+    return jax.lax.scan(one, carry, a_mat)
 
 
 @functools.partial(
@@ -338,6 +407,8 @@ class ContinuousEngine:
         dtype: Any = jnp.bfloat16,
         quant: bool = False,
         prompt_tokens: int = 0,
+        max_fused_ticks: int = 8,
+        admit_tp_bucket: int = 0,
     ):
         """``prompt_tokens`` > 0 enables in-context prosody prompting: a
         request may carry ``prompt_tc``/``prompt_codes`` (stage-2 features,
@@ -379,6 +450,116 @@ class ContinuousEngine:
         self.slot_frames: List[int] = [0] * slots
         self.slot_codes: List[int] = [0] * slots
         self.n_ticks = 0
+        # offline mode fuses up to this many ticks per dispatch (each
+        # distinct N compiles once; online serving always single-ticks)
+        self.max_fused_ticks = max(1, int(max_fused_ticks))
+        # >0: pad every admission to ONE static phone bucket and fuse
+        # prep+prefill+admit into a single dispatch (_admit_many_fused)
+        self.admit_tp_bucket = int(admit_tp_bucket)
+
+    def _tick_plan(self) -> Tuple[list, list, bool]:
+        """Plan ONE tick: advance the host-side code counters, decide the
+        per-slot emit starts, free slots that schedule their final chunk.
+        Returns ``(a_vec, [(req, chunk_j, slot)], freed_any)``."""
+        Cc = self.F // 8
+        for s in range(self.S):
+            if self.slot_req[s] is not None:
+                self.slot_codes[s] = min(self.slot_codes[s] + Cc, self.Tc)
+        a_vec, items, freed = [0] * self.S, [], False
+        for s in range(self.S):
+            req = self.slot_req[s]
+            if req is None:
+                continue
+            j = self.slot_emitted[s]
+            need = min(
+                self.Tc,
+                -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8),
+            )
+            if self.slot_codes[s] >= need and j * self.F < self.slot_frames[s]:
+                a_vec[s] = j * self.F
+                items.append((req, j, s))
+                self.slot_emitted[s] = j + 1
+                if (j + 1) * self.F >= self.slot_frames[s]:
+                    self.slot_req[s] = None  # free at dispatch time
+                    freed = True
+        return a_vec, items, freed
+
+    def _prompt_arrays(self, pairs, order):
+        """(ptc, prev_prompt, prev, plen) for an admission wave, fitted to
+        the engine's static prompt budget (zeros/BOS for unprompted)."""
+        from .data.datasets import fit_prompt
+
+        _, plm_cfg, _, _ = self.cfgs
+        D = plm_cfg.tc_latent_dim
+        S = len(order)
+        ptc = np.zeros((S, self.Pe, D), np.float32)
+        pcodes = np.zeros((S, self.Pe), np.int32)
+        plen = np.zeros((S,), np.int32)
+        prev = np.full((S,), plm_cfg.bos_id, np.int32)
+        for k, i in enumerate(order):
+            r = pairs[i][1]
+            if r.get("prompt_codes") is None:
+                continue  # unprompted: plen 0, BOS prev, junk prefill row
+            t, c = fit_prompt(r["prompt_tc"], r["prompt_codes"], self.Pe)
+            ptc[k], pcodes[k] = t[0], c[0]
+            plen[k] = self.Pe
+            prev[k] = c[0, -1]
+        prev_prompt = np.concatenate(
+            [np.full((S, 1), plm_cfg.bos_id, np.int32), pcodes[:, :-1]], axis=1
+        )
+        return ptc, prev_prompt, prev, plen
+
+    def _admit_many_fused(self, pairs: List[Tuple[int, dict]]) -> None:
+        """Single-dispatch admission (``admit_tp_bucket`` set): every wave
+        request pads to ONE engine-wide static phone bucket, so content
+        prep [+ prompt prefill] + slot install fuse into one jit call
+        (``prep_admit``) — per-request pow-16 buckets cost one prep
+        dispatch per bucket, which dominated offline engine wall time on
+        the tunnel target.  Output stays deterministic per request
+        because the bucket is an engine constant, not a group property."""
+        g_vars, plm_params, adm_params, _ = self.params
+        g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
+        Tp = self.admit_tp_bucket
+        for _, r in pairs:
+            if r["phone"].shape[1] > Tp:
+                raise ValueError(
+                    f"request has {r['phone'].shape[1]} phones > "
+                    f"admit_tp_bucket={Tp}"
+                )
+        if self.Pe == 0 and any("prompt_codes" in r for _, r in pairs):
+            raise ValueError("request carries a prosody prompt but the "
+                             "engine was built with prompt_tokens=0")
+        order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
+        phone = np.zeros((self.S, Tp), np.int32)
+        lens = np.zeros((self.S,), np.int32)
+        mels = np.stack([pairs[i][1]["mels_prompt"][0] for i in order])
+        for k, i in enumerate(order):
+            r = pairs[i][1]
+            phone[k, : r["phone"].shape[1]] = r["phone"][0]
+            lens[k] = int(r["lens"][0])
+        if self.Pe > 0:
+            ptc, prev_prompt, prev, plen = self._prompt_arrays(pairs, order)
+        else:  # dummies (static prompted=False path ignores them)
+            ptc = np.zeros((self.S, 1, plm_cfg.tc_latent_dim), np.float32)
+            prev_prompt = np.zeros((self.S, 1), np.int32)
+            prev = np.full((self.S,), plm_cfg.bos_id, np.int32)
+            plen = np.zeros((self.S,), np.int32)
+        self.carry, nf = prep_admit(
+            g_vars, adm_params, plm_params,
+            jnp.asarray(plm_cfg.bos_id, jnp.int32), self.carry,
+            jnp.asarray([pairs[i][0] for i in order], jnp.int32),
+            jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels),
+            jnp.asarray(ptc), jnp.asarray(prev_prompt), jnp.asarray(prev),
+            jnp.asarray(plen),
+            g_cfg, adm_cfg, plm_cfg, self.Tmax, self.Tc, self.rv, self.rd,
+            self.dtype, self.quant, self.Pe > 0, self.Pe,
+        )
+        nf = np.asarray(nf)
+        for k, (slot, req) in enumerate(pairs):
+            self.slot_req[slot] = req
+            self.slot_emitted[slot] = 0
+            self.slot_frames[slot] = int(nf[k])
+            self.slot_codes[slot] = 0
 
     def _admit_many(self, pairs: List[Tuple[int, dict]]) -> None:
         """Admit several requests with a FIXED compile surface.
@@ -397,6 +578,8 @@ class ContinuousEngine:
         """
         g_vars, _, adm_params, _ = self.params
         g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
+        if self.admit_tp_bucket:
+            return self._admit_many_fused(pairs)
         buckets: Dict[int, List[int]] = {}
         for i, (_, r) in enumerate(pairs):
             tp = -(-int(r["phone"].shape[1]) // 16) * 16
@@ -444,26 +627,8 @@ class ContinuousEngine:
                 jnp.asarray(plm_cfg.bos_id, jnp.int32),
             )
         else:
-            from .data.datasets import fit_prompt
-
             _, plm_params, _, _ = self.params
-            D = plm_cfg.tc_latent_dim
-            ptc = np.zeros((self.S, self.Pe, D), np.float32)
-            pcodes = np.zeros((self.S, self.Pe), np.int32)
-            plen = np.zeros((self.S,), np.int32)
-            prev = np.full((self.S,), plm_cfg.bos_id, np.int32)
-            for k, i in enumerate(order):
-                r = pairs[i][1]
-                if r.get("prompt_codes") is None:
-                    continue  # unprompted: plen 0, BOS prev, junk prefill row
-                t, c = fit_prompt(r["prompt_tc"], r["prompt_codes"], self.Pe)
-                ptc[k], pcodes[k] = t[0], c[0]
-                plen[k] = self.Pe
-                prev[k] = c[0, -1]
-            prev_prompt = np.concatenate(
-                [np.full((self.S, 1), plm_cfg.bos_id, np.int32), pcodes[:, :-1]],
-                axis=1,
-            )
+            ptc, prev_prompt, prev, plen = self._prompt_arrays(pairs, order)
             pf_cache = prefill_slots(
                 plm_params, jnp.asarray(ptc), jnp.asarray(prev_prompt),
                 plm_cfg, self.Tc + self.Pe, self.dtype, self.quant,
@@ -518,10 +683,10 @@ class ContinuousEngine:
             return [s for s in range(self.S) if self.slot_req[s] is not None]
 
         def flush(p):
-            wavs = np.asarray(p[0])
-            for req, j, row in p[1]:
+            wavs = np.asarray(p[0])  # (N_ticks, S, F*hop)
+            for req, j, row, n in p[1]:
                 total = totals[id(req)]
-                w = wavs[row]
+                w = wavs[n, row]
                 if (j + 1) * self.F > total:
                     w = w[: (total - j * self.F) * HIFIGAN_HOP_LENGTH]
                 bufs[id(req)].append(w)
@@ -566,37 +731,34 @@ class ContinuousEngine:
                     bufs[id(req)] = []
                     totals[id(req)] = self.slot_frames[s]
             # the schedule is deterministic (each tick adds exactly Cc
-            # codes), so the emit plan for the POST-tick state is computed
-            # up front and tick+emit run as ONE fused dispatch
+            # codes), so emit plans are computed up front and MULTIPLE
+            # ticks + emits run as ONE fused dispatch whenever no
+            # admission can occur inside the block (offline mode; online
+            # keeps single ticks for admission latency).  Every saved
+            # dispatch is ~75 ms on a tunneled target.
             new_pending = None
             if live_slots():
-                for s in live_slots():
-                    self.slot_codes[s] = min(self.slot_codes[s] + Cc, self.Tc)
-                a_vec, items = [0] * self.S, []
-                for s in range(self.S):
-                    req = self.slot_req[s]
-                    if req is None:
-                        continue
-                    j = self.slot_emitted[s]
-                    need = min(
-                        self.Tc,
-                        -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8),
-                    )
-                    if self.slot_codes[s] >= need and j * self.F < self.slot_frames[s]:
-                        a_vec[s] = j * self.F
-                        items.append((req, j, s))
-                        self.slot_emitted[s] = j + 1
-                        if (j + 1) * self.F >= self.slot_frames[s]:
-                            self.slot_req[s] = None  # free at dispatch time
-                self.carry, wavs = engine_tick_emit(
+                a_rows, items_all = [], []
+                for n in range(self.max_fused_ticks):
+                    if not live_slots():
+                        break
+                    a_vec, items, freed = self._tick_plan()
+                    a_rows.append(a_vec)
+                    items_all.extend((req, j, s, n) for req, j, s in items)
+                    if live is not None:
+                        break  # online: admit at every tick boundary
+                    if freed and queue:
+                        break  # a slot opened and work is waiting
+                N = len(a_rows)
+                self.carry, wavs = engine_tick_emit_multi(
                     plm_params, g_vars, hifi_params, self.carry,
-                    jnp.asarray(a_vec, jnp.int32), plm_cfg, g_cfg, hifi_cfg,
-                    Cc, self.Tc, self.F, self.rv, self.rd, self.dtype, self.quant,
-                    self.Pe,
+                    jnp.asarray(a_rows, jnp.int32), plm_cfg, g_cfg, hifi_cfg,
+                    Cc, self.Tc, self.F, self.rv, self.rd, N, self.dtype,
+                    self.quant, self.Pe,
                 )
-                self.n_ticks += 1
-                if items:
-                    new_pending = (wavs, items)
+                self.n_ticks += N
+                if items_all:
+                    new_pending = (wavs, items_all)
             # pull the PREVIOUS tick's samples while this one computes
             if pending is not None:
                 yield from flush(pending)

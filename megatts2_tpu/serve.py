@@ -99,6 +99,11 @@ def parse_args(argv=None):
                         "tiled + tail-truncated to this length)")
     p.add_argument("--prompt_n", type=int, default=3,
                    help="utterances per speaker prompt (prompt_speaker)")
+    p.add_argument("--admit_tp_bucket", type=int, default=0,
+                   help=">0: continuous engine pads every admission to "
+                        "this static phone bucket and fuses content prep "
+                        "+ prompt prefill + slot install into ONE "
+                        "dispatch (offline throughput)")
     return p.parse_args(argv)
 
 
@@ -165,6 +170,7 @@ def run_http(args, tts, _ready_cb=None):
         chunk_frames=args.chunk_frames, dtype=tts.dtype,
         quant=args.quant_int8,
         prompt_tokens=args.prompt_tokens if args.prompt_ds else 0,
+        admit_tp_bucket=args.admit_tp_bucket,
     )
     prompt_of = make_prompt_resolver(args)
     rq: "qmod.Queue" = qmod.Queue()
@@ -378,6 +384,7 @@ def main(argv=None):
             chunk_frames=args.chunk_frames, dtype=tts.dtype,
             quant=args.quant_int8,
             prompt_tokens=args.prompt_tokens if args.prompt_ds else 0,
+            admit_tp_bucket=args.admit_tp_bucket,
         )
         t0 = time.time()
         done, audio_s = 0, 0.0

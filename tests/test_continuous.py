@@ -198,6 +198,47 @@ class TestEngineEqualsSynthesize:
         diff = float(np.max(np.abs(np.asarray(mel_p) - np.asarray(mel_np))))
         assert diff > 1e-3, f"prompt did not change the decoded mel ({diff})"
 
+    def test_fused_admission_matches_synthesize(self):
+        """admit_tp_bucket: one static phone bucket → prep+admit fuse
+        into one dispatch; output must equal synthesize padded to the
+        SAME bucket (the bucket is an engine constant, so output stays
+        independent of co-admitted requests)."""
+        g_vars, plm_params, adm_params, hifi_params = _cascade_vars()
+        rng = np.random.RandomState(3)
+        TP = 64
+        reqs = []
+        for i, tp in enumerate((40, 24, 33)):
+            reqs.append({
+                "id": f"r{i}",
+                "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+                "lens": np.full((1,), tp, np.int32),
+                "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+            })
+        eng = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+            admit_tp_bucket=TP,
+        )
+        got = dict(eng.run(list(reqs)))
+        assert set(got) == {"r0", "r1", "r2"}
+        for r in reqs:
+            phone = np.zeros((1, TP), np.int32)
+            phone[0, : r["phone"].shape[1]] = r["phone"][0]
+            wav_full, _, n_frames = synthesize(
+                g_vars, plm_params, adm_params, hifi_params,
+                TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+                jnp.asarray(phone), jnp.asarray(r["lens"]),
+                jnp.asarray(r["mels_prompt"]),
+                max_frames=eng.Tmax, dtype=jnp.float32,
+            )
+            total = int(np.asarray(n_frames)[0]) * 256
+            assert got[r["id"]].shape[0] == total, r["id"]
+            np.testing.assert_allclose(
+                got[r["id"]], np.asarray(wav_full)[0, :total],
+                rtol=1e-4, atol=1e-4, err_msg=r["id"],
+            )
+
     def test_slots_always_busy(self):
         """With more requests than slots the engine keeps every slot
         occupied until the queue drains (no head-of-line blocking)."""

@@ -397,6 +397,36 @@ def section_stream():
     }), flush=True)
 
 
+def section_mel(reps: int = 20):
+    """Plain-XLA vs fused-Pallas mel at the two production shapes:
+    prepare_ds stage-1 batches (8 × 3.2 s) and vocoder-trainer segments
+    (8 × 64 frames).  Decides whether the fused kernel earns a call site
+    (round-2 verdict Weak #3)."""
+    from megatts2_tpu.ops.mel import mel_spectrogram, mel_spectrogram_fused
+
+    rng = np.random.RandomState(0)
+    for name, B, n in (("prepare_ds", 8, 51200), ("vocoder_seg", 8, 64 * 256)):
+        sig = jnp.asarray(rng.randn(B, n).astype(np.float32) * 0.1)
+        for variant, fn in (("xla", mel_spectrogram), ("pallas_fused", mel_spectrogram_fused)):
+            def run(s, fn=fn):
+                def body(c, _):
+                    m = fn(s)
+                    return c + jnp.sum(m) * 1e-6, ()
+                cf, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+                return cf
+            try:
+                dt = timeit(jax.jit(run), sig, iters=3) / reps
+            except Exception as e:
+                print(json.dumps({"section": "mel", "shape": name,
+                                  "variant": variant, "error": type(e).__name__}),
+                      flush=True)
+                continue
+            print(json.dumps({
+                "section": "mel", "shape": name, "B": B, "samples": n,
+                "variant": variant, "ms": round(dt * 1e3, 3),
+            }), flush=True)
+
+
 def section_continuous():
     """Continuous-batching engine vs bucketed batch serving on mixed
     traffic (60% short ~128fr / 30% medium ~256fr / 10% long ~512fr —
@@ -428,6 +458,7 @@ def section_continuous():
             g_cfg, plm_cfg, adm_cfg, hifi_cfg,
             slots=8, max_frames=512, chunk_frames=256,
             dtype=jnp.bfloat16, quant=True,
+            admit_tp_bucket=512,  # fused single-dispatch admission
         )
         t0 = time.perf_counter()
         audio = sum(w.shape[0] for _, w in eng.run(list(reqs)))
