@@ -587,6 +587,10 @@ class ContinuousEngine:
         tc_plm = [None] * len(pairs)
         tc_expand = [None] * len(pairs)
         totals = np.zeros((len(pairs),), np.int64)
+        # dispatch EVERY bucket's prep before syncing any n_frames: the
+        # preps run back-to-back on device and the host pays ONE round
+        # trip for the whole wave, not one per bucket
+        pending = []
         for Tp, idxs in buckets.items():
             pad_idxs = idxs + [idxs[0]] * (self.S - len(idxs))  # fixed batch
             phone = np.zeros((self.S, Tp), np.int32)
@@ -601,6 +605,8 @@ class ContinuousEngine:
                 jnp.asarray(phone), jnp.asarray(lens), jnp.asarray(mels),
                 self.Tmax, self.dtype,
             )
+            pending.append((idxs, tce, tcp, nf))
+        for idxs, tce, tcp, nf in pending:
             nf = np.asarray(nf)
             for k, i in enumerate(idxs):  # only the real rows
                 tc_plm[i] = tcp[k]

@@ -458,7 +458,6 @@ def section_continuous():
             g_cfg, plm_cfg, adm_cfg, hifi_cfg,
             slots=8, max_frames=512, chunk_frames=256,
             dtype=jnp.bfloat16, quant=True,
-            admit_tp_bucket=512,  # fused single-dispatch admission
         )
         t0 = time.perf_counter()
         audio = sum(w.shape[0] for _, w in eng.run(list(reqs)))
