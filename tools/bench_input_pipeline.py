@@ -159,7 +159,11 @@ def bench_gan_steps(ds: str, steps: int) -> None:
     from megatts2_tpu.training import create_gan_state, make_gan_train_step
 
     manifest = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
-    builder = GANBatchBuilder(manifest, ds, use_native=True)
+    # cap the timbre-concat bucket at 512 frames: the 2048-frame bucket at
+    # B=8 trips an int32-overflow CHECK inside the remote TPU compiler
+    # (llo::CouldLeS32 — compiler bug, not a framework shape limit)
+    builder = GANBatchBuilder(manifest, ds, use_native=True,
+                              max_timbre_frames=512)
     sampler = DurationBucketSampler(
         manifest, max_duration_batch=8 * 3.2 + 0.1, num_buckets=1, seed=0
     )
