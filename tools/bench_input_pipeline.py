@@ -159,13 +159,13 @@ def bench_gan_steps(ds: str, steps: int) -> None:
     from megatts2_tpu.training import create_gan_state, make_gan_train_step
 
     manifest = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
-    # cap the timbre-concat bucket at 512 frames: the 2048-frame bucket at
-    # B=8 trips an int32-overflow CHECK inside the remote TPU compiler
-    # (llo::CouldLeS32 — compiler bug, not a framework shape limit)
-    builder = GANBatchBuilder(manifest, ds, use_native=True,
-                              max_timbre_frames=512)
+    builder = GANBatchBuilder(manifest, ds, use_native=True)
+    # max_duration_batch=40 (B=12) mirrors the tools/train_curve.py drive
+    # geometry, which is known to compile — some nearby shape combos trip
+    # an int32-overflow CHECK (llo::CouldLeS32) inside the remote TPU
+    # compiler (compiler bug, reported via BENCHMARKS.md note)
     sampler = DurationBucketSampler(
-        manifest, max_duration_batch=8 * 3.2 + 0.1, num_buckets=1, seed=0
+        manifest, max_duration_batch=40.0, num_buckets=1, seed=0
     )
     g_cfg = MegaGConfig()
     d_cfg = DiscriminatorConfig()
@@ -180,16 +180,29 @@ def bench_gan_steps(ds: str, steps: int) -> None:
                    donate_argnums=(0,))
     state, m = step(state, {k: jnp.asarray(v) for k, v in first.items()})
     jax.block_until_ready(m["G_loss_total"])
+
+    def run(n, it):
+        done = 0
+        while done < n:
+            for batch in it:
+                yield batch
+                done += 1
+                if done >= n:
+                    return
+            it = iter(loader)  # re-run epochs
+
+    # warmup: the timbre-concat bucket varies per batch (pow2 of the
+    # random same-speaker sample count), so several shapes compile; time
+    # only after the shape set is warm
+    warmup = min(40, steps)
+    for batch in run(warmup, it):
+        state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    jax.block_until_ready(m["G_loss_total"])
     t0 = time.time()
     done = 0
-    while done < steps:
-        for batch in it:
-            state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
-            done += 1
-            if done >= steps:
-                break
-        else:
-            it = iter(loader)  # re-run epochs until `steps` reached
+    for batch in run(steps, iter(loader)):
+        state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        done += 1
     jax.block_until_ready(m["G_loss_total"])
     dt = time.time() - t0
     print(json.dumps({
