@@ -79,13 +79,16 @@ def _dense(x, w, dtype, scale=None, bias=None):
     return y
 
 
-def _layer_weights(layers: dict, l: int, quant: bool, barrier: bool = True):
+def _layer_weights(layers: dict, l: int, quant: bool, barrier: bool = False):
     """Static per-layer slice of the stacked ('layers') param tree, with
-    q/k/v merged into one (K, 3N) projection.  The int8 leaves go through
-    an optimization_barrier so the dequantized bf16 copies cannot be
-    hoisted out of the token scan (that would stream bf16, not int8)."""
+    q/k/v merged into one (K, 3N) projection.  ``barrier=True`` wraps the
+    int8 leaves in an optimization_barrier to pin dequantize inside the
+    token loop — an A/B knob only (see module docstring)."""
     att = layers["attn"]
     kkey = "kernel_q" if quant else "kernel"
+    # barrier default OFF: measured +4 ms on v5e (blocks the async weight
+    # prefetch pipeline); hoisting of dequantized copies only appears at
+    # unroll >= 4, which the tuned defaults avoid
 
     def k(mod):
         w = mod[kkey][l]
