@@ -58,14 +58,30 @@ def _dense(x, w, dtype, scale=None, bias=None):
 
     int8 path (``scale`` given): bf16×int8→f32 accumulate, fp32 scale and
     bias, output cast to ``dtype`` — exactly ``weight_only.QDense``.
+    packed-int4 path (``w`` uint8, (K/2, N)): the two nibble planes are
+    the first/second half of K, so the dot is two contiguous half-K
+    matmuls summed in fp32 — same epilogue, half the weight HBM traffic.
     float path: plain dtype dot + bias — exactly ``nn.Dense(dtype=...)``.
     """
     if scale is not None:
-        acc = jax.lax.dot_general(
-            x.astype(dtype), w.astype(dtype),
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if w.dtype == jnp.uint8:  # packed int4 (quantize_tree bits=4)
+            from ..quantization.weight_only import unpack_int4
+
+            lo, hi = unpack_int4(w, dtype)
+            K2 = w.shape[0]
+            xl = x.astype(dtype)
+            dn = (((x.ndim - 1,), (0,)), ((), ()))
+            acc = jax.lax.dot_general(
+                xl[..., :K2], lo, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                xl[..., K2:], hi, dn, preferred_element_type=jnp.float32
+            )
+        else:
+            acc = jax.lax.dot_general(
+                x.astype(dtype), w.astype(dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         y = acc * scale
         if bias is not None:
             y = y + bias
@@ -147,24 +163,30 @@ def _attend_cached(q, cache_k, cache_v, t, n_heads, dtype):
     return ctx.reshape(B, HD)
 
 
-def _layer_step(x, w, ck, cv, t, n_heads, dtype, quant):
+def _layer_step(x, w, ckv, t, n_heads, dtype, quant):
     """One pre-LN transformer layer on a (B, D) token; returns the new x
-    and the updated (loop-carried) cache buffers."""
+    and the updated (loop-carried) cache buffer.
+
+    The K/V cache is ONE (B, L, 2D) buffer per layer: k and v are
+    adjacent in the merged qkv projection output, so the cache write is a
+    single one-token ``dynamic_update_slice`` of the contiguous
+    ``qkv[:, D:]`` slab (half the update ops and loop carries of separate
+    k/v buffers; attention reads lane-slices of the carry, which XLA
+    fuses into the QK/PV products)."""
     B, D = x.shape
     h = _layer_norm(x, *w["ln1"], dtype)
     qkv = _dense(h, w["qkv_w"], dtype,
                  w.get("qkv_s") if quant else None, w["qkv_b"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    ck = jax.lax.dynamic_update_slice(ck, k[:, None, :], (0, t, 0))
-    cv = jax.lax.dynamic_update_slice(cv, v[:, None, :], (0, t, 0))
-    ctx = _attend_cached(q, ck, cv, t, n_heads, dtype)
+    q = qkv[:, :D]
+    ckv = jax.lax.dynamic_update_slice(ckv, qkv[:, None, D:], (0, t, 0))
+    ctx = _attend_cached(q, ckv[..., :D], ckv[..., D:], t, n_heads, dtype)
     x = x + _dense(ctx, w["out_w"], dtype,
                    w.get("out_s") if quant else None, w["out_b"])
     h = _layer_norm(x, *w["ln2"], dtype)
     y = _dense(h, w["ff1_w"], dtype, w.get("ff1_s") if quant else None, w["ff1_b"])
     y = nn.relu(y)
     y = _dense(y, w["ff2_w"], dtype, w.get("ff2_s") if quant else None, w["ff2_b"])
-    return x + y, ck, cv
+    return x + y, ckv
 
 
 def plm_fast_decode(
@@ -200,12 +222,15 @@ def plm_fast_decode(
     tc = tc_latent.astype(dtype)
 
     if init_cache is None:
-        ck0 = [jnp.zeros((B, L_ctx, HD), dtype) for _ in range(n_layers)]
-        cv0 = [jnp.zeros((B, L_ctx, HD), dtype) for _ in range(n_layers)]
+        ckv0 = [jnp.zeros((B, L_ctx, 2 * HD), dtype) for _ in range(n_layers)]
     else:
         k_stack, v_stack = init_cache
-        ck0 = [k_stack[l].astype(dtype) for l in range(n_layers)]
-        cv0 = [v_stack[l].astype(dtype) for l in range(n_layers)]
+        ckv0 = [
+            jnp.concatenate(
+                [k_stack[l].astype(dtype), v_stack[l].astype(dtype)], axis=-1
+            )
+            for l in range(n_layers)
+        ]
     bos = jnp.full((B,), c.bos_id, jnp.int32)
     if prev0 is None:
         prev0 = bos
@@ -222,28 +247,27 @@ def plm_fast_decode(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def token_step(carry, t):
-        prev, cks, cvs = carry
+        prev, ckvs = carry
         pc_emb = jnp.take(embed_tbl.astype(dtype), prev, axis=0)
         tc_t = jax.lax.dynamic_slice_in_dim(tc, t, 1, axis=1)[:, 0]
         x = jnp.concatenate([tc_t, pc_emb], axis=-1)
         pos = t + start_pos
         x = x + jnp.take(pe, pos, axis=0)
-        new_ck, new_cv = [], []
+        new_ckv = []
         for l in range(n_layers):
-            x, ck, cv = _layer_step(
-                x, w_layers[l], cks[l], cvs[l], pos, c.n_heads, dtype, quant
+            x, ckv = _layer_step(
+                x, w_layers[l], ckvs[l], pos, c.n_heads, dtype, quant
             )
-            new_ck.append(ck)
-            new_cv.append(cv)
+            new_ckv.append(ckv)
         if quant:
             logits = _dense(x, pred["kernel_q"], dtype, pred["scale"], None)
         else:
             logits = _dense(x, pred["kernel"], dtype)
         code = pick(logits.astype(jnp.float32), t)
-        return (code, tuple(new_ck), tuple(new_cv)), code
+        return (code, tuple(new_ckv)), code
 
-    (_, _, _), codes = jax.lax.scan(
-        token_step, (prev0, tuple(ck0), tuple(cv0)),
+    (_, _), codes = jax.lax.scan(
+        token_step, (prev0, tuple(ckv0)),
         jnp.arange(T, dtype=jnp.int32), unroll=min(unroll, T),
     )
     return jnp.transpose(codes, (1, 0))  # (B, T)
@@ -379,11 +403,10 @@ def adm_fast_decode(
     HD = c.d_model
     tc = tc_latents.astype(dtype)
 
-    ck0 = [jnp.zeros((B, T, HD), dtype) for _ in range(n_layers)]
-    cv0 = [jnp.zeros((B, T, HD), dtype) for _ in range(n_layers)]
+    ckv0 = [jnp.zeros((B, T, 2 * HD), dtype) for _ in range(n_layers)]
 
     def token_step(carry, t):
-        prev, cks, cvs = carry
+        prev, ckvs = carry
         dt_emb = _dense(
             prev[:, None], dt_w.get("kernel_q", dt_w.get("kernel")), dtype,
             dt_w.get("scale") if quant else None, None,
@@ -398,22 +421,21 @@ def adm_fast_decode(
         )
         x = jnp.concatenate([tc_t, dt_emb], axis=-1)
         x = x + pe[t]
-        new_ck, new_cv = [], []
+        new_ckv = []
         for l in range(n_layers):
-            x, ck, cv = _layer_step(
-                x, w_layers[l], cks[l], cvs[l], t, c.n_heads, dtype, quant
+            x, ckv = _layer_step(
+                x, w_layers[l], ckvs[l], t, c.n_heads, dtype, quant
             )
-            new_ck.append(ck)
-            new_cv.append(cv)
+            new_ckv.append(ckv)
         if quant:
             d = _dense(x, pred["kernel_q"], dtype, pred["scale"], None)[:, 0]
         else:
             d = _dense(x, pred["kernel"], dtype)[:, 0]
         d = d.astype(jnp.float32)
-        return (d, tuple(new_ck), tuple(new_cv)), d
+        return (d, tuple(new_ckv)), d
 
-    (_, _, _), dts = jax.lax.scan(
-        token_step, (jnp.zeros((B,), jnp.float32), tuple(ck0), tuple(cv0)),
+    (_, _), dts = jax.lax.scan(
+        token_step, (jnp.zeros((B,), jnp.float32), tuple(ckv0)),
         jnp.arange(T, dtype=jnp.int32), unroll=min(unroll, T),
     )
     dts = jnp.transpose(dts, (1, 0))

@@ -66,22 +66,54 @@ class QDense(nn.Module):
         return y.astype(self.dtype)
 
 
-def quantize_kernel(w: jnp.ndarray):
-    """(…, K, N) fp kernel → (int8 kernel_q, fp32 per-N scale).
+def quantize_kernel(w: jnp.ndarray, bits: int = 8):
+    """(…, K, N) fp kernel → (int kernel_q, fp32 per-N scale).
 
     The contraction axis is -2 (flax Dense layout), so this handles both
     plain (K, N) kernels and layer-stacked (L, K, N) kernels from
     ``nn.scan`` — scales come out (N,) / (L, N) and slice correctly under
     ``variable_axes={"params": 0}``.
+
+    ``bits=4`` halves decode weight traffic again vs int8: two 4-bit rows
+    pack into one ``uint8`` as (row k) low nibble | (row k + K/2) high
+    nibble — i.e. the packed array is (…, K/2, N) and unpacks into the
+    first/second HALF of the contraction axis.  That split lets the
+    consumer run ``x[:, :K/2] @ lo + x[:, K/2:] @ hi`` — two contiguous
+    half-K dots, no interleave relayout anywhere (see
+    ``models/fast_decode._dense``).  The per-output-channel fp32 scale
+    still applies AFTER the fp32-accumulated dot, so the matmul epilogue
+    is identical for both widths.  (Storage is uint8, not jnp.int4: S4
+    jit arguments crash this jax build with a device_put RecursionError.)
     """
     w = jnp.asarray(w, jnp.float32)
-    s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    if bits == 8:
+        s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        return jnp.round(w / s).astype(jnp.int8), jnp.squeeze(s, axis=-2)
+    if bits != 4:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    K = w.shape[-2]
+    if K % 2:
+        raise ValueError(f"int4 packing needs an even contraction dim, got {K}")
+    s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 7.0
     s = jnp.maximum(s, 1e-12)
-    q = jnp.round(w / s).astype(jnp.int8)
-    return q, jnp.squeeze(s, axis=-2)
+    q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int32)
+    lo = jnp.take(q, jnp.arange(K // 2), axis=-2)
+    hi = jnp.take(q, jnp.arange(K // 2, K), axis=-2)
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8)
+    return packed, jnp.squeeze(s, axis=-2)
 
 
-def quantize_tree(params) -> dict:
+def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16):
+    """(…, K/2, N) uint8 → (lo, hi) halves of the (…, K, N) kernel in
+    ``dtype`` (sign via the xor-sub trick; no interleave reshapes)."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = ((p >> 4) ^ 8) - 8
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def quantize_tree(params, bits: int = 8) -> dict:
     """Map a Dense-only params tree to the :class:`QDense` layout.
 
     Every dict holding a ``kernel`` leaf (ndim ≥ 2) becomes
@@ -95,7 +127,11 @@ def quantize_tree(params) -> dict:
         if isinstance(node, Mapping):
             kernel = node.get("kernel")
             if kernel is not None and getattr(kernel, "ndim", 0) >= 2:
-                q, s = quantize_kernel(kernel)
+                # odd contraction dims (e.g. the ADM's (1, D) dt_linear_emb)
+                # can't nibble-pack — those leaves stay int8; consumers
+                # dispatch per-leaf on dtype (uint8 = packed int4)
+                leaf_bits = bits if kernel.shape[-2] % 2 == 0 else 8
+                q, s = quantize_kernel(kernel, leaf_bits)
                 out = {"kernel_q": q, "scale": s}
                 for k, v in node.items():
                     if k == "kernel":
@@ -117,8 +153,12 @@ def dequantize_tree(params) -> dict:
     def rec(node):
         if isinstance(node, Mapping):
             if "kernel_q" in node:
+                kq = node["kernel_q"]
+                if kq.dtype == jnp.uint8:  # packed int4 (see quantize_kernel)
+                    lo, hi = unpack_int4(kq, jnp.float32)
+                    kq = jnp.concatenate([lo, hi], axis=-2)
                 out = {
-                    "kernel": node["kernel_q"].astype(jnp.float32)
+                    "kernel": kq.astype(jnp.float32)
                     * node["scale"][..., None, :]
                 }
                 for k, v in node.items():

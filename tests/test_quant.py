@@ -64,6 +64,67 @@ class TestQuantizeKernel:
         )
 
 
+class TestInt4Packed:
+    """Packed-nibble int4 (quantize_tree bits=4): measured SLOWER than
+    int8 for decode on v5e (unpack is VPU-bound — BENCHMARKS.md), kept as
+    a memory-halving serving option.  These tests pin the pack/unpack
+    layout and the two-half-dot consumer."""
+
+    def test_pack_unpack_roundtrip(self):
+        from megatts2_tpu.quantization.weight_only import unpack_int4
+
+        rng = np.random.RandomState(3)
+        w = jnp.asarray(rng.randn(64, 48).astype(np.float32)) * 0.3
+        p, s = quantize_kernel(w, bits=4)
+        assert p.dtype == jnp.uint8 and p.shape == (32, 48) and s.shape == (48,)
+        lo, hi = unpack_int4(p, jnp.float32)
+        back = jnp.concatenate([lo, hi], axis=0) * s[None, :]
+        # |err| <= scale/2 = max|col|/14
+        bound = np.abs(np.asarray(w)).max(axis=0) / 14.0 + 1e-7
+        assert (np.abs(np.asarray(back - w)) <= bound[None, :]).all()
+
+    def test_dense_two_half_dots_match_dequant(self):
+        from megatts2_tpu.models.fast_decode import _dense
+
+        rng = np.random.RandomState(4)
+        w = jnp.asarray(rng.randn(64, 48).astype(np.float32)) * 0.2
+        x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+        b = jnp.asarray(rng.randn(48).astype(np.float32))
+        p, s = quantize_kernel(w, bits=4)
+        qt = dequantize_tree({"m": {"kernel_q": p, "scale": s}})
+        y_ref = x @ qt["m"]["kernel"] + b
+        y = _dense(x, p, jnp.float32, scale=s, bias=b)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    def test_tree_mixed_leaves_odd_k_stays_int8(self):
+        rng = np.random.RandomState(5)
+        tree = {
+            "even": {"kernel": jnp.asarray(rng.randn(8, 4), jnp.float32)},
+            "odd": {"kernel": jnp.asarray(rng.randn(1, 4), jnp.float32)},
+        }
+        qt = quantize_tree(tree, bits=4)
+        assert qt["even"]["kernel_q"].dtype == jnp.uint8
+        assert qt["odd"]["kernel_q"].dtype == jnp.int8  # (1, D) can't pack
+
+    def test_plm_fast_decode_int4_runs(self):
+        from megatts2_tpu.models.fast_decode import plm_fast_decode
+
+        cfg, params = _tiny_plm()
+        rng = np.random.RandomState(6)
+        tc = jnp.asarray(
+            rng.randn(2, 6, cfg.d_model - cfg.vq_dim), jnp.float32
+        )
+        q4 = quantize_tree(params, bits=4)
+        codes = np.asarray(
+            jax.jit(
+                lambda p, t: plm_fast_decode(p, cfg, t, dtype=jnp.float32,
+                                             quant=True)
+            )(q4, tc)
+        )
+        assert codes.shape == (2, 6)
+        assert ((codes >= 0) & (codes < cfg.vq_bins + 2)).all()
+
+
 class TestQDense:
     def test_matches_dequantized_dense(self):
         rng = np.random.RandomState(3)
