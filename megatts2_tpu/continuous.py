@@ -118,14 +118,32 @@ def _admit_common(carry, has, wi, tc_plm_a, tc_expand_a, total_codes_a, prev_a):
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+def _total_codes(nf: jnp.ndarray, Tc: int, Tmax: int, rv: int, rd: int):
+    """Codes a slot must generate to emit ``nf`` frames (receptive-field
+    lookahead included) — computed IN-GRAPH from the device ``n_frames``
+    so admission never needs an ``n_frames`` host sync on its critical
+    path (the online loop defers that sync past the next tick dispatch)."""
+    return jnp.minimum(Tc, -(-jnp.minimum(nf + rv + rd, Tmax) // 8)).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Tc", "Tmax", "rv", "rd"),
+    donate_argnums=(0,),
+)
 def admit_slots(
     carry: dict,
     slots: jnp.ndarray,  # (A,) int32 target slots (may repeat — first wins)
     tc_plm_a: jnp.ndarray,  # (A, Tc, D)
     tc_expand_a: jnp.ndarray,  # (A, Tf, H)
-    total_codes_a: jnp.ndarray,  # (A,) int32
+    nf_a: jnp.ndarray,  # (A,) int32 generated-frame counts (device)
     bos: jnp.ndarray,  # scalar int32
+    Tc: int,
+    Tmax: int,
+    rv: int,
+    rd: int,
 ):
     """Reset A slots in place and install their new requests' content —
     ONE dispatch per admission group (prep is batched by the caller).
@@ -135,22 +153,30 @@ def admit_slots(
     has, wi = _admit_select(carry, slots)
     prev_a = jnp.full(slots.shape, bos, jnp.int32)
     carry = _admit_common(carry, has, wi, tc_plm_a, tc_expand_a,
-                          total_codes_a, prev_a)
+                          _total_codes(nf_a, Tc, Tmax, rv, rd), prev_a)
     if "plen" in carry:
         carry["plen"] = jnp.where(has, 0, carry["plen"])
     return carry
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit,
+    static_argnames=("Tc", "Tmax", "rv", "rd"),
+    donate_argnums=(0,),
+)
 def admit_slots_prompted(
     carry: dict,
     slots: jnp.ndarray,  # (A,) int32 target slots (may repeat — first wins)
     tc_plm_a: jnp.ndarray,  # (A, Tc, D)
     tc_expand_a: jnp.ndarray,  # (A, Tf, H)
-    total_codes_a: jnp.ndarray,  # (A,) int32
+    nf_a: jnp.ndarray,  # (A,) int32 generated-frame counts (device)
     prev_a: jnp.ndarray,  # (A,) int32: BOS, or last prompt code
     plen_a: jnp.ndarray,  # (A,) int32 prompt length (0 = unprompted)
     pf_cache: dict,  # prefill_slots output: flax stacks (num_layers, A, L, HD)
+    Tc: int,
+    Tmax: int,
+    rv: int,
+    rd: int,
 ):
     """Admission with in-context prosody prompts: install each request's
     content AND its prefilled prompt KV rows in one dispatch.
@@ -176,7 +202,7 @@ def admit_slots_prompted(
         "v": tuple(scatter(b, v_stack, l) for l, b in enumerate(carry["cache"]["v"])),
     }
     carry = _admit_common(carry, has, wi, tc_plm_a, tc_expand_a,
-                          total_codes_a, prev_a)
+                          _total_codes(nf_a, Tc, Tmax, rv, rd), prev_a)
     carry["cache"] = cache
     carry["plen"] = jnp.where(has, plen_s, carry["plen"])
     return carry
@@ -265,18 +291,17 @@ def prep_admit(
     tce, tcp, nf = stream_prep.__wrapped__(
         g_vars, adm_params, g_cfg, adm_cfg, phone, lens, mels, Tmax, dtype
     )
-    total_codes = jnp.minimum(
-        Tc, -(-jnp.minimum(nf + rv + rd, Tmax) // 8)
-    ).astype(jnp.int32)
     if prompted:
         pf = prefill_slots.__wrapped__(
             plm_params, ptc, prev_prompt, plm_cfg, Tc + Pe, dtype, quant
         )
         carry = admit_slots_prompted.__wrapped__(
-            carry, slots, tcp, tce, total_codes, prev_a, plen_a, pf
+            carry, slots, tcp, tce, nf, prev_a, plen_a, pf, Tc, Tmax, rv, rd
         )
     else:
-        carry = admit_slots.__wrapped__(carry, slots, tcp, tce, total_codes, bos)
+        carry = admit_slots.__wrapped__(
+            carry, slots, tcp, tce, nf, bos, Tc, Tmax, rv, rd
+        )
     return carry, nf
 
 
@@ -456,6 +481,43 @@ class ContinuousEngine:
         # >0: pad every admission to ONE static phone bucket and fuse
         # prep+prefill+admit into a single dispatch (_admit_many_fused)
         self.admit_tp_bucket = int(admit_tp_bucket)
+        # online loop: the admission wave's n_frames sync is deferred past
+        # the next tick dispatch (slot_frames -1 = not yet known; the
+        # device-side total comes from admit_slots' in-graph total_codes)
+        self._defer_nf = False
+        self._pending_nf: Optional[Tuple[Any, list]] = None
+
+    def _install(self, pairs, nf_vec) -> None:
+        """Fill the host slot table for an admitted wave.  ``nf_vec`` is
+        the (S,) DEVICE n_frames vector whose row k corresponds to
+        ``pairs[k]``.  Online (``_defer_nf``) the host sync is deferred —
+        the next tick dispatches first and ``_resolve_nf`` syncs after."""
+        for slot, req in pairs:
+            self.slot_req[slot] = req
+            self.slot_emitted[slot] = 0
+            self.slot_codes[slot] = 0
+            self.slot_frames[slot] = -1
+        if self._defer_nf:
+            self._pending_nf = (nf_vec, list(pairs))
+        else:
+            nf_host = np.asarray(nf_vec)
+            for k, (slot, _) in enumerate(pairs):
+                self.slot_frames[slot] = int(nf_host[k])
+
+    def _resolve_nf(self) -> list:
+        """Sync a deferred admission wave's n_frames (if pending); returns
+        ``[(req, frames)]`` for the caller's totals bookkeeping."""
+        if self._pending_nf is None:
+            return []
+        nf_vec, pairs = self._pending_nf
+        self._pending_nf = None
+        nf_host = np.asarray(nf_vec)
+        out = []
+        for k, (slot, req) in enumerate(pairs):
+            if self.slot_req[slot] is req:
+                self.slot_frames[slot] = int(nf_host[k])
+            out.append((req, int(nf_host[k])))
+        return out
 
     def _tick_plan(self) -> Tuple[list, list, bool]:
         """Plan ONE tick: advance the host-side code counters, decide the
@@ -475,6 +537,11 @@ class ContinuousEngine:
                 self.Tc,
                 -(-min((j + 1) * self.F + self.rv + self.rd, self.Tmax) // 8),
             )
+            # slot_frames -1 = deferred-nf admission still unresolved: no
+            # emit can be due yet (chunk 0 needs rv+rd lookahead codes,
+            # which take >1 tick, and the sync resolves every tick)
+            if self.slot_frames[s] < 0:
+                continue
             if self.slot_codes[s] >= need and j * self.F < self.slot_frames[s]:
                 a_vec[s] = j * self.F
                 items.append((req, j, s))
@@ -554,12 +621,7 @@ class ContinuousEngine:
             g_cfg, adm_cfg, plm_cfg, self.Tmax, self.Tc, self.rv, self.rd,
             self.dtype, self.quant, self.Pe > 0, self.Pe,
         )
-        nf = np.asarray(nf)
-        for k, (slot, req) in enumerate(pairs):
-            self.slot_req[slot] = req
-            self.slot_emitted[slot] = 0
-            self.slot_frames[slot] = int(nf[k])
-            self.slot_codes[slot] = 0
+        self._install(pairs, nf)
 
     def _admit_many(self, pairs: List[Tuple[int, dict]]) -> None:
         """Admit several requests with a FIXED compile surface.
@@ -586,10 +648,12 @@ class ContinuousEngine:
             buckets.setdefault(tp, []).append(i)
         tc_plm = [None] * len(pairs)
         tc_expand = [None] * len(pairs)
-        totals = np.zeros((len(pairs),), np.int64)
+        nf_rows = [None] * len(pairs)  # lazy 0-d device slices
         # dispatch EVERY bucket's prep before syncing any n_frames: the
         # preps run back-to-back on device and the host pays ONE round
-        # trip for the whole wave, not one per bucket
+        # trip for the whole wave, not one per bucket — and in the online
+        # loop NO round trip at all (total_codes is computed in-graph by
+        # admit_slots; the nf sync defers past the next tick dispatch)
         pending = []
         for Tp, idxs in buckets.items():
             pad_idxs = idxs + [idxs[0]] * (self.S - len(idxs))  # fixed batch
@@ -607,17 +671,14 @@ class ContinuousEngine:
             )
             pending.append((idxs, tce, tcp, nf))
         for idxs, tce, tcp, nf in pending:
-            nf = np.asarray(nf)
             for k, i in enumerate(idxs):  # only the real rows
                 tc_plm[i] = tcp[k]
                 tc_expand[i] = tce[k]
-                totals[i] = int(nf[k])
-        total_codes = np.minimum(
-            self.Tc,
-            -(-np.minimum(totals + self.rv + self.rd, self.Tmax) // 8),
-        ).astype(np.int32)
-        # pad the admit batch to S by duplicating entry 0 (idempotent)
+                nf_rows[i] = nf[k]
+        # pad the admit batch to S by duplicating entry 0 (idempotent);
+        # nf_vec row i corresponds to pairs[i] for i < len(pairs)
         order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
+        nf_vec = jnp.stack([nf_rows[i] for i in order])
         if self.Pe == 0:
             if any("prompt_codes" in r for _, r in pairs):
                 raise ValueError(
@@ -629,8 +690,9 @@ class ContinuousEngine:
                 jnp.asarray([pairs[i][0] for i in order], jnp.int32),
                 jnp.stack([tc_plm[i] for i in order]),
                 jnp.stack([tc_expand[i] for i in order]),
-                jnp.asarray(total_codes[np.asarray(order)]),
+                nf_vec,
                 jnp.asarray(plm_cfg.bos_id, jnp.int32),
+                self.Tc, self.Tmax, self.rv, self.rd,
             )
         else:
             _, plm_params, _, _ = self.params
@@ -644,16 +706,13 @@ class ContinuousEngine:
                 jnp.asarray([pairs[i][0] for i in order], jnp.int32),
                 jnp.stack([tc_plm[i] for i in order]),
                 jnp.stack([tc_expand[i] for i in order]),
-                jnp.asarray(total_codes[np.asarray(order)]),
+                nf_vec,
                 jnp.asarray(prev),
                 jnp.asarray(plen),
                 pf_cache,
+                self.Tc, self.Tmax, self.rv, self.rd,
             )
-        for i, (slot, req) in enumerate(pairs):
-            self.slot_req[slot] = req
-            self.slot_emitted[slot] = 0
-            self.slot_frames[slot] = int(totals[i])
-            self.slot_codes[slot] = 0
+        self._install(pairs, nf_vec)
 
     def run(self, requests: List[dict]) -> Iterator[Tuple[Any, np.ndarray]]:
         """Drive the engine over a fixed request list, yielding
@@ -684,6 +743,12 @@ class ContinuousEngine:
         totals: Dict[int, int] = {}
         Cc = self.F // 8
         pending = None  # (device wavs, [(req, chunk j, batch row)])
+        # online: defer each admission wave's n_frames sync until after
+        # the NEXT tick has been dispatched (one fewer blocking round trip
+        # on the request's time-to-first-audio path); offline keeps the
+        # immediate sync (the fused-tick planner wants known frame counts)
+        self._defer_nf = live is not None
+        self._pending_nf = None
 
         def live_slots():
             return [s for s in range(self.S) if self.slot_req[s] is not None]
@@ -735,7 +800,8 @@ class ContinuousEngine:
                 self._admit_many(pairs)
                 for s, req in pairs:
                     bufs[id(req)] = []
-                    totals[id(req)] = self.slot_frames[s]
+                    if self.slot_frames[s] >= 0:
+                        totals[id(req)] = self.slot_frames[s]
             # the schedule is deterministic (each tick adds exactly Cc
             # codes), so emit plans are computed up front and MULTIPLE
             # ticks + emits run as ONE fused dispatch whenever no
@@ -765,6 +831,11 @@ class ContinuousEngine:
                 self.n_ticks += N
                 if items_all:
                     new_pending = (wavs, items_all)
+            # resolve a deferred admission's n_frames AFTER dispatching
+            # the tick it overlapped with (the sync rides the same device
+            # round trip the flush below pays anyway)
+            for req, frames in self._resolve_nf():
+                totals[id(req)] = frames
             # pull the PREVIOUS tick's samples while this one computes
             if pending is not None:
                 yield from flush(pending)

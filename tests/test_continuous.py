@@ -262,3 +262,47 @@ class TestEngineEqualsSynthesize:
         assert len(got) == 5
         for w in got.values():
             assert w.shape[0] > 0 and np.isfinite(w).all()
+
+    def test_run_live_deferred_nf_equals_run(self):
+        """The ONLINE loop defers each admission wave's n_frames sync past
+        the next tick dispatch (continuous.py::_install/_resolve_nf).
+        Deferral is pure scheduling: run_live must produce bit-identical
+        audio to the offline run() for the same requests."""
+        import queue as queue_mod
+        import threading
+
+        g_vars, plm_params, adm_params, hifi_params = _cascade_vars()
+        rng = np.random.RandomState(2)
+        reqs = [
+            {
+                "id": i,
+                "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+                "lens": np.full((1,), tp, np.int32),
+                "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+            }
+            for i, tp in enumerate((24, 40, 16, 32))
+        ]
+
+        def make_engine():
+            return ContinuousEngine(
+                g_vars, plm_params, adm_params, hifi_params,
+                TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+                slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+            )
+
+        ref = dict(make_engine().run([dict(r) for r in reqs]))
+
+        rq = queue_mod.Queue()
+        for r in reqs:
+            rq.put(dict(r))
+        stop = threading.Event()
+        eng = make_engine()
+        got = {}
+        for rid, wav in eng.run_live(rq, stop):
+            got[rid] = wav
+            if len(got) == len(reqs):
+                stop.set()
+        assert set(got) == set(ref)
+        assert eng._pending_nf is None  # every deferred sync resolved
+        for rid in ref:
+            np.testing.assert_array_equal(got[rid], ref[rid], err_msg=str(rid))

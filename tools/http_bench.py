@@ -137,10 +137,14 @@ def main():
             done.set()
             server.shutdown()
 
-    ns = argparse.Namespace(
-        http=0, host="127.0.0.1", slots=args.slots, max_frames=args.max_frames,
-        chunk_frames=args.chunk_frames, quant_int8=True,
-    )
+    # start from serve.py's OWN argparse defaults so new server knobs can
+    # never desynchronize this namespace again
+    ns = serve_mod.parse_args([])
+    ns.http = 0
+    ns.slots = args.slots
+    ns.max_frames = args.max_frames
+    ns.chunk_frames = args.chunk_frames
+    ns.quant_int8 = True
     serve_mod.run_http(ns, tts, _ready_cb=drive)
     assert done.is_set()
     print(json.dumps({"metric": "http_serving_latency", **report}))
