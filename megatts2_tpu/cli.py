@@ -132,6 +132,12 @@ def main(argv=None):
                 max_duration_batch=dcfg.get("max_duration_batch", 60),
                 num_buckets=dcfg.get("num_buckets", 10),
             ),
+            # max_timbre_frames caps the same-speaker timbre-concat bucket
+            # (reference default 2048 == 10 × ~20 s; on the axon remote
+            # compiler the 2048-frame bucket at B≥8 trips an int32-overflow
+            # CHECK — llo::CouldLeS32, a compiler bug — so drives on this
+            # target set 512; see BENCHMARKS.md "Input pipeline")
+            dict(max_timbre_frames=dcfg.get("max_timbre_frames", 2048)),
         )
         example = next(iter(train_f(0)))
         state, g_tx, d_tx = create_gan_state(rng, g_cfg, d_cfg, tcfg, example)

@@ -140,8 +140,12 @@ def main():
                   "--ckpt_dir", os.path.join(root, "ckpts", stage)])
 
     if "gan" in stages:
-        # reference-size GAN config (configs/config_gan.yaml) on this corpus
-        fit("gan", args.steps, {"max_duration_batch": 40})
+        # reference-size GAN config (configs/config_gan.yaml) on this corpus.
+        # max_timbre_frames=512 dodges the remote-compiler int32-overflow
+        # CHECK the 2048-frame timbre bucket trips on this target (the
+        # compile HANGS/aborts mid-run once a ≥10-cut concat first appears)
+        fit("gan", args.steps, {"max_duration_batch": 40,
+                                "max_timbre_frames": 512})
         report["gan"] = _curve(log_dir, "gan", ("train/G_loss_re", "val/loss_re"))
 
     if "vocoder" in stages:
