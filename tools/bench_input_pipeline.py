@@ -71,11 +71,28 @@ def build_corpus(root: str, n_speakers: int, n_per_spk: int, seed: int = 0,
             f"        xmin = 0\n        xmax = {dur_s}\n"
             f"        intervals: size = {len(words)}\n" + iv
         )
+        # Per-speaker FORMANT envelope (two resonance peaks, positions
+        # deterministic and low-discrepancy-spread over speakers): in the
+        # Mega-TTS2 factorization pitch is PROSODY (carried by the VQ
+        # codes / PLM), while timbre is the SPECTRAL ENVELOPE (carried by
+        # MRTE) — speakers that differ only by f0 cannot demonstrate
+        # timbre transfer (arXiv:2307.07218 §2; learned the hard way in
+        # the round-3 8-speaker drive, BENCHMARKS.md).  Formants give
+        # each speaker a pitch-independent spectral identity.
+        F1 = 300.0 + 550.0 * ((spk_i * 0.6180339887) % 1.0)
+        F2 = 1200.0 + 1800.0 * ((spk_i * 0.3819660113 + 0.25) % 1.0)
+
+        def env(f):
+            return (0.08 + np.exp(-((f - F1) ** 2) / (2 * 140.0 ** 2))
+                    + 0.8 * np.exp(-((f - F2) ** 2) / (2 * 260.0 ** 2)))
+
         for i in range(n_per_spk):
             f0 = f0_base * (1 + 0.05 * rng.rand())
+            n_harm = max(3, int(3800.0 / f0))
             y = sum(
-                (0.4 / h) * np.sin(2 * np.pi * f0 * h * t + rng.rand() * 6.28)
-                for h in range(1, 4)
+                (env(h * f0) / np.sqrt(h))
+                * np.sin(2 * np.pi * f0 * h * t + rng.rand() * 6.28)
+                for h in range(1, n_harm + 1)
             )
             y *= 0.5 + 0.5 * np.sin(2 * np.pi * (2 + rng.rand()) * t) ** 2
             y = (y + 0.01 * rng.randn(n)).astype(np.float32)
