@@ -75,7 +75,11 @@ def prefill_slots(
     every admitted request's prompt occupies cache positions [0, Pe), so
     the rows can then be scattered into the per-slot engine cache
     (``admit_slots_prompted``).  The cache pytree leaf shapes match the
-    engine cache exactly because ``max_decode_len`` is the same."""
+    engine cache exactly because ``max_decode_len`` is the same.
+
+    int8-only when ``quant``: prefill runs through flax QDense, which
+    rejects nibble-packed int4 trees (the engine guards at construction,
+    quantization/weight_only.py::is_int4_tree)."""
     model = MegaPLM(
         plm_cfg, dtype=dtype, decode=True, max_decode_len=Tc_total, quant=quant
     )
@@ -454,6 +458,15 @@ class ContinuousEngine:
         self.Pe = _roundup(prompt_tokens, 8) if prompt_tokens > 0 else 0
         self.dtype = dtype
         self.quant = quant
+        if quant and self.Pe > 0:
+            from .quantization.weight_only import is_int4_tree
+
+            if is_int4_tree(plm_params):
+                raise NotImplementedError(
+                    "prompt prefill (prompt_tokens > 0) runs through flax "
+                    "QDense and needs the int8 layout; re-quantize with "
+                    "quantize_tree(bits=8) or build with prompt_tokens=0"
+                )
         D = plm_cfg.tc_latent_dim
         H = g_cfg.mrte.hidden_size
         n_layers = plm_params["plm"]["layers"]["norm1"]["scale"].shape[0]
@@ -593,7 +606,12 @@ class ContinuousEngine:
                     f"request has {r['phone'].shape[1]} phones > "
                     f"admit_tp_bucket={Tp}"
                 )
-        if self.Pe == 0 and any("prompt_codes" in r for _, r in pairs):
+        # same detection as _prompt_arrays: explicit prompt_codes=None is
+        # the unprompted placeholder, not a prompt
+        wave_prompted = any(
+            r.get("prompt_codes") is not None for _, r in pairs
+        )
+        if self.Pe == 0 and wave_prompted:
             raise ValueError("request carries a prosody prompt but the "
                              "engine was built with prompt_tokens=0")
         order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
@@ -604,9 +622,11 @@ class ContinuousEngine:
             r = pairs[i][1]
             phone[k, : r["phone"].shape[1]] = r["phone"][0]
             lens[k] = int(r["lens"][0])
-        if self.Pe > 0:
+        if wave_prompted:
             ptc, prev_prompt, prev, plen = self._prompt_arrays(pairs, order)
-        else:  # dummies (static prompted=False path ignores them)
+        else:  # dummies (static prompted=False path ignores them) — an
+            # all-unprompted wave on a prompt-enabled engine skips the
+            # 12-layer S×Pe prefill entirely (its rows would all be junk)
             ptc = np.zeros((self.S, 1, plm_cfg.tc_latent_dim), np.float32)
             prev_prompt = np.zeros((self.S, 1), np.int32)
             prev = np.full((self.S,), plm_cfg.bos_id, np.int32)
@@ -619,7 +639,7 @@ class ContinuousEngine:
             jnp.asarray(ptc), jnp.asarray(prev_prompt), jnp.asarray(prev),
             jnp.asarray(plen),
             g_cfg, adm_cfg, plm_cfg, self.Tmax, self.Tc, self.rv, self.rd,
-            self.dtype, self.quant, self.Pe > 0, self.Pe,
+            self.dtype, self.quant, wave_prompted, self.Pe,
         )
         self._install(pairs, nf)
 
@@ -679,12 +699,17 @@ class ContinuousEngine:
         # nf_vec row i corresponds to pairs[i] for i < len(pairs)
         order = list(range(len(pairs))) + [0] * (self.S - len(pairs))
         nf_vec = jnp.stack([nf_rows[i] for i in order])
-        if self.Pe == 0:
-            if any("prompt_codes" in r for _, r in pairs):
-                raise ValueError(
-                    "request carries a prosody prompt but the engine was "
-                    "built with prompt_tokens=0"
-                )
+        wave_prompted = any(
+            r.get("prompt_codes") is not None for _, r in pairs
+        )
+        if self.Pe == 0 and wave_prompted:
+            raise ValueError(
+                "request carries a prosody prompt but the engine was "
+                "built with prompt_tokens=0"
+            )
+        if not wave_prompted:
+            # all-unprompted wave: skip the prompt prefill dispatch even
+            # on a prompt-enabled engine (admit_slots resets plen to 0)
             self.carry = admit_slots(
                 self.carry,
                 jnp.asarray([pairs[i][0] for i in order], jnp.int32),

@@ -106,6 +106,15 @@ def adm_infer(
             params, cfg, tc_latents, dtype=dtype, quant=quant, unroll=unroll
         )
     B, T, _ = tc_latents.shape
+    if quant:
+        from ..quantization.weight_only import is_int4_tree
+
+        if is_int4_tree(params):
+            raise NotImplementedError(
+                "int4-packed params run only on the fast decode path; "
+                "fast=False uses flax QDense, which expects the int8 "
+                "layout (quantize_tree(bits=8))"
+            )
     model = MegaADM(cfg, dtype=dtype, decode=True, max_decode_len=T, quant=quant)
 
     d0, cache = model.apply(

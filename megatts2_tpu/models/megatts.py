@@ -299,7 +299,12 @@ class Megatts:
         ``chunk_frames``×hop samples) as soon as the prosody codes they
         depend on are decoded — time-to-first-audio instead of
         whole-utterance latency.  Concatenated chunks equal the one-shot
-        ``synthesize`` output (RF-exact windows, models/streaming.py)."""
+        ``synthesize`` output (RF-exact windows, models/streaming.py) at
+        fp32 and int8, where the one-shot fast decode is op-identical to
+        the flax scan this path uses (tests/test_fast_decode.py).  At
+        unquantized bf16 the fast re-schedule's dot order can round a
+        near-tie logit differently, so a prosody code may occasionally
+        flip vs one-shot (same caveat as fast_decode's ADM note)."""
         from .streaming import stream_synthesize
 
         wavs = sorted(glob.glob(os.path.join(wavs_dir, "*.wav")))

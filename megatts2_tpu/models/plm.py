@@ -140,6 +140,16 @@ def plm_infer(
     P = 0 if prompt_tc is None else prompt_tc.shape[1]
     if temperature > 0 and rng is None:
         raise ValueError("sampling (temperature > 0) requires rng")
+    if quant and (not fast or P > 0):
+        from ..quantization.weight_only import is_int4_tree
+
+        if is_int4_tree(params):
+            raise NotImplementedError(
+                "int4-packed params (quantize_tree(bits=4)) run only on "
+                "the fast decode path without a prompt prefill; the flax "
+                "QDense layers behind fast=False and prompt_tc expect the "
+                "int8 layout (quantize_tree(bits=8))"
+            )
     model = MegaPLM(cfg, dtype=dtype, decode=True, max_decode_len=P + T, quant=quant)
     bos = jnp.full((B,), cfg.bos_id, jnp.int32)
 

@@ -147,6 +147,27 @@ def quantize_tree(params, bits: int = 8) -> dict:
     return rec(params)
 
 
+def is_int4_tree(params) -> bool:
+    """True if any quantized leaf is nibble-packed int4 (uint8 storage).
+
+    int4 trees are consumable ONLY by the fast-decode matmuls
+    (models/fast_decode.py dispatches per-leaf on dtype); the flax
+    :class:`QDense` layer declares an (K, N) int8 ``kernel_q`` param, so
+    every QDense consumer (``plm_infer(fast=False)``, prompt prefill,
+    ``continuous.prefill_slots``) must reject int4 up front instead of
+    dying in a flax shape error."""
+
+    def rec(node):
+        if isinstance(node, Mapping):
+            kq = node.get("kernel_q")
+            if kq is not None and kq.dtype == jnp.uint8:
+                return True
+            return any(rec(v) for v in node.values())
+        return False
+
+    return rec(params)
+
+
 def dequantize_tree(params) -> dict:
     """Inverse of :func:`quantize_tree` (fp32 kernels; testing/debug)."""
 

@@ -23,7 +23,7 @@ import glob
 import json
 import os
 import time
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 
 import numpy as np
 
@@ -121,7 +121,11 @@ def make_prompt_resolver(args):
     from .data import load_prompt_manifest, resolve_prompt
 
     manifest = load_prompt_manifest(args.prompt_ds)
-    cache = {}
+    # LRU-bounded: each entry holds (P,D)+(P,) arrays (~0.5 MB at
+    # P=2048), and the HTTP server lives for days — unbounded growth
+    # with distinct (cuts, speaker) keys would leak RSS monotonically
+    cache = OrderedDict()
+    max_entries = 128
 
     def resolver(r):
         ids = tuple(r.get("prompt_cuts") or ())
@@ -129,11 +133,15 @@ def make_prompt_resolver(args):
         if not ids and not spk:
             return None
         key = (ids, spk)
-        if key not in cache:
+        if key in cache:
+            cache.move_to_end(key)
+        else:
             cache[key] = resolve_prompt(
                 args.prompt_ds, cut_ids=list(ids) or None, speaker=spk,
                 n=args.prompt_n, manifest=manifest,
             )
+            while len(cache) > max_entries:
+                cache.popitem(last=False)
         return cache[key]
 
     return resolver
@@ -409,7 +417,10 @@ def main(argv=None):
         bucket = pick_bucket(
             len(tts.phone_ids(r["text"])), args.frames_per_phone, buckets
         )
-        pkey = (tuple(r.get("prompt_cuts") or ()), r.get("prompt_speaker"))
+        # "" stands in for absent prompt_speaker so mixed prompted /
+        # unprompted groups stay sortable (None < str raises TypeError)
+        pkey = (tuple(r.get("prompt_cuts") or ()),
+                r.get("prompt_speaker") or "")
         by_group[(r["wavs_dir"], bucket, pkey)].append(r)
 
     t0 = time.time()

@@ -254,6 +254,13 @@ class TestServeEndToEnd:
                 if i == 0:  # one request with an in-context prosody prompt
                     r["prompt_cuts"] = ["c0"]
                 f.write(json.dumps(r) + "\n")
+            # prompt_speaker form, same bucket as the unprompted "hello
+            # world": its group key ties with the unprompted one on the
+            # empty cuts tuple (regression: sorting None vs str speaker
+            # keys raised TypeError and killed the whole batch run)
+            f.write(json.dumps({"id": "r3", "text": "hello world",
+                                "wavs_dir": fx["prompts"],
+                                "prompt_speaker": "spkA"}) + "\n")
         out_dir = str(tmp_path / "out")
 
         serve_main([
@@ -268,8 +275,8 @@ class TestServeEndToEnd:
         ])
         captured = capsys.readouterr().out.strip().splitlines()
         stats = json.loads(captured[-1])
-        assert stats["requests"] == 3
-        for i in range(3):
+        assert stats["requests"] == 4
+        for i in range(4):
             p = os.path.join(out_dir, f"r{i}.wav")
             assert os.path.exists(p), p
             from megatts2_tpu.utils.audio import load_wav

@@ -198,6 +198,62 @@ class TestEngineEqualsSynthesize:
         diff = float(np.max(np.abs(np.asarray(mel_p) - np.asarray(mel_np))))
         assert diff > 1e-3, f"prompt did not change the decoded mel ({diff})"
 
+    def test_unprompted_wave_skips_prefill(self, monkeypatch):
+        """An all-unprompted admission wave on a prompt-ENABLED engine
+        must not pay the 12-layer prompt prefill dispatch (regression:
+        r3 review), and an explicit ``prompt_codes=None`` placeholder is
+        unprompted, not an error — on both Pe>0 and Pe=0 engines."""
+        import megatts2_tpu.continuous as cont
+
+        g_vars, plm_params, adm_params, hifi_params = _cascade_vars()
+        rng = np.random.RandomState(3)
+        reqs = []
+        for i, tp in enumerate((40, 24)):
+            reqs.append({
+                "id": f"r{i}",
+                "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+                "lens": np.full((1,), tp, np.int32),
+                "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+                "prompt_codes": None,  # explicit unprompted placeholder
+            })
+
+        def boom(*a, **k):  # any host-side prefill dispatch is a bug
+            raise AssertionError("prefill_slots called on unprompted wave")
+
+        monkeypatch.setattr(cont, "prefill_slots", boom)
+        eng = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+            prompt_tokens=16,
+        )
+        got = dict(eng.run(list(reqs)))
+        assert set(got) == {"r0", "r1"}
+        eng0 = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+        )
+        got0 = dict(eng0.run(list(reqs)))  # must not raise on Pe=0
+        for i, r in enumerate(reqs):
+            tp = r["phone"].shape[1]
+            Tp = -(-tp // 16) * 16
+            phone = np.zeros((1, Tp), np.int32)
+            phone[0, :tp] = r["phone"][0]
+            wav_full, _, n_frames = synthesize(
+                g_vars, plm_params, adm_params, hifi_params,
+                TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+                jnp.asarray(phone), jnp.asarray(r["lens"]),
+                jnp.asarray(r["mels_prompt"]),
+                max_frames=eng.Tmax, dtype=jnp.float32,
+            )
+            total = int(np.asarray(n_frames)[0]) * 256
+            for out in (got, got0):
+                np.testing.assert_allclose(
+                    out[r["id"]], np.asarray(wav_full)[0, :total],
+                    rtol=1e-4, atol=1e-4, err_msg=r["id"],
+                )
+
     def test_fused_admission_matches_synthesize(self):
         """admit_tp_bucket: one static phone bucket → prep+admit fuse
         into one dispatch; output must equal synthesize padded to the

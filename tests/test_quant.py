@@ -124,6 +124,29 @@ class TestInt4Packed:
         assert codes.shape == (2, 6)
         assert ((codes >= 0) & (codes < cfg.vq_bins + 2)).all()
 
+    def test_int4_rejected_by_qdense_paths(self):
+        """int4 trees only work on the fast-decode matmuls; every flax
+        QDense consumer must reject them with a clear error instead of a
+        flax shape error (regression: the guard in plm_infer/adm_infer)."""
+        from megatts2_tpu.quantization.weight_only import is_int4_tree
+
+        cfg, params = _tiny_plm()
+        q4 = quantize_tree(params, bits=4)
+        q8 = quantize_tree(params, bits=8)
+        assert is_int4_tree(q4) and not is_int4_tree(q8)
+        rng = np.random.RandomState(7)
+        tc = jnp.asarray(rng.randn(2, 6, cfg.tc_latent_dim), jnp.float32)
+        with pytest.raises(NotImplementedError, match="int4"):
+            plm_infer(q4, cfg, tc, quant=True, fast=False)
+        ptc = jnp.asarray(rng.randn(2, 4, cfg.tc_latent_dim), jnp.float32)
+        pcodes = jnp.zeros((2, 4), jnp.int32)
+        with pytest.raises(NotImplementedError, match="int4"):
+            plm_infer(q4, cfg, tc, quant=True, fast=True,
+                      prompt_tc=ptc, prompt_codes=pcodes)
+        # int8 + prompt prefill stays allowed (no raise at trace entry)
+        plm_infer(q8, cfg, tc, quant=True, prompt_tc=ptc,
+                  prompt_codes=pcodes)
+
 
 class TestQDense:
     def test_matches_dequantized_dense(self):

@@ -49,7 +49,10 @@ def main():
             return jnp.sum(plm_fast_decode(p, cfg, tc_in, dtype=jnp.bfloat16, quant=True))
     else:
         def run(p, tc_in):
-            return jnp.sum(plm_infer(p, cfg, tc_in, dtype=jnp.bfloat16, quant=True))
+            # fast=False: plm_infer defaults to the fast path now, and
+            # this branch exists to profile the nn.scan baseline
+            return jnp.sum(plm_infer(p, cfg, tc_in, dtype=jnp.bfloat16,
+                                     quant=True, fast=False))
 
     jitted = jax.jit(run)
     np.asarray(jitted(params, tc))  # compile + warm
