@@ -494,6 +494,9 @@ class ContinuousEngine:
         # >0: pad every admission to ONE static phone bucket and fuse
         # prep+prefill+admit into a single dispatch (_admit_many_fused)
         self.admit_tp_bucket = int(admit_tp_bucket)
+        # prep_admit prompted-variants already warmed, keyed by
+        # (prompted, Tp, Tm) — see _warm_admit_variant
+        self._warmed_admit: set = set()
         # online loop: the admission wave's n_frames sync is deferred past
         # the next tick dispatch (slot_frames -1 = not yet known; the
         # device-side total comes from admit_slots' in-graph total_codes)
@@ -641,7 +644,58 @@ class ContinuousEngine:
             g_cfg, adm_cfg, plm_cfg, self.Tmax, self.Tc, self.rv, self.rd,
             self.dtype, self.quant, wave_prompted, self.Pe,
         )
+        if self.Pe > 0:
+            # `prompted` is a static argname, so a prompt-enabled engine
+            # has TWO prep_admit variants; warm the one this wave did NOT
+            # take so a later variant flip doesn't pay a cold remote
+            # compile mid-serving (advisor round-3 finding)
+            self._warm_admit_variant(not wave_prompted, Tp, mels.shape[1])
         self._install(pairs, nf)
+
+    def _warm_admit_variant(self, prompted: bool, Tp: int, Tm: int) -> None:
+        """AOT-compile the other ``prep_admit`` prompted-variant at this
+        wave's shapes, in a background thread (compile only, never
+        executed).  The persistent compilation cache makes the later real
+        jit call a cache hit instead of a multi-minute remote compile.
+        Once per (prompted, Tp, Tm); failures are non-fatal (the real
+        call would just compile cold, the pre-fix behavior)."""
+        key = (prompted, Tp, Tm)
+        if key in self._warmed_admit:
+            return
+        self._warmed_admit.add(key)
+        g_vars, plm_params, adm_params, _ = self.params
+        g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
+        P = self.Pe if prompted else 1
+        D = plm_cfg.tc_latent_dim
+
+        def sds(shape, dt):
+            return jax.ShapeDtypeStruct(shape, dt)
+
+        carry_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.carry
+        )
+
+        def work():
+            try:
+                prep_admit.lower(
+                    g_vars, adm_params, plm_params,
+                    sds((), jnp.int32), carry_sds,
+                    sds((self.S,), jnp.int32), sds((self.S, Tp), jnp.int32),
+                    sds((self.S,), jnp.int32),
+                    sds((self.S, Tm, 80), jnp.float32),
+                    sds((self.S, P, D), jnp.float32),
+                    sds((self.S, P), jnp.int32),
+                    sds((self.S,), jnp.int32), sds((self.S,), jnp.int32),
+                    g_cfg, adm_cfg, plm_cfg, self.Tmax, self.Tc,
+                    self.rv, self.rd, self.dtype, self.quant,
+                    prompted, self.Pe,
+                ).compile()
+            except Exception:
+                pass
+
+        import threading
+
+        threading.Thread(target=work, daemon=True).start()
 
     def _admit_many(self, pairs: List[Tuple[int, dict]]) -> None:
         """Admit several requests with a FIXED compile surface.

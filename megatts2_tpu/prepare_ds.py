@@ -8,9 +8,11 @@
   stage 2: run the trained generator's ``s2_latent`` per cut and save
            ``{ds_path}/latents/{spk}/{id}.npy`` with tc_latent + p_code.
 
-TPU-first departures: mel extraction is the fused JAX kernel (optionally on
-the TPU itself), run over bucketed batches instead of per-file torch calls;
-stage-2 latent extraction jits one ``s2_latent`` graph per shape bucket.
+TPU-first departures: mel extraction is the jitted XLA ``mel_spectrogram``
+(optionally on the TPU itself), run over bucketed batches instead of
+per-file torch calls (the hand-written Pallas mel kernel was measured
+slower and retired — BENCHMARKS.md); stage-2 latent extraction jits one
+``s2_latent`` graph per shape bucket.
 """
 from __future__ import annotations
 

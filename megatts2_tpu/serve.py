@@ -118,14 +118,21 @@ def make_prompt_resolver(args):
                                  "server was started without --prompt_ds")
             return None
         return no_prompt
+    import threading
+
     from .data import load_prompt_manifest, resolve_prompt
 
     manifest = load_prompt_manifest(args.prompt_ds)
     # LRU-bounded: each entry holds (P,D)+(P,) arrays (~0.5 MB at
     # P=2048), and the HTTP server lives for days — unbounded growth
-    # with distinct (cuts, speaker) keys would leak RSS monotonically
+    # with distinct (cuts, speaker) keys would leak RSS monotonically.
+    # The resolver is called from ThreadingHTTPServer handler threads,
+    # so all cache mutation happens under one lock and the resolved
+    # value is captured in a local (a concurrent eviction between the
+    # membership check and a re-read would otherwise raise KeyError).
     cache = OrderedDict()
     max_entries = 128
+    mu = threading.Lock()
 
     def resolver(r):
         ids = tuple(r.get("prompt_cuts") or ())
@@ -133,16 +140,20 @@ def make_prompt_resolver(args):
         if not ids and not spk:
             return None
         key = (ids, spk)
-        if key in cache:
-            cache.move_to_end(key)
-        else:
-            cache[key] = resolve_prompt(
+        with mu:
+            if key in cache:
+                cache.move_to_end(key)
+                return cache[key]
+            # resolve under the lock: racing threads on the same new key
+            # would duplicate the expensive disk resolve otherwise
+            val = resolve_prompt(
                 args.prompt_ds, cut_ids=list(ids) or None, speaker=spk,
                 n=args.prompt_n, manifest=manifest,
             )
+            cache[key] = val
             while len(cache) > max_entries:
                 cache.popitem(last=False)
-        return cache[key]
+        return val
 
     return resolver
 

@@ -295,6 +295,73 @@ class TestEngineEqualsSynthesize:
                 rtol=1e-4, atol=1e-4, err_msg=r["id"],
             )
 
+    def test_fused_admission_prompt_engine_unprompted_wave(self):
+        """admit_tp_bucket on a prompt-ENABLED engine (Pe>0): an
+        all-unprompted wave takes the fused prep_admit prompted=False
+        branch, which receives dummy (S,1,D)/(S,1) prompt arrays — a
+        shape/tracing regression there would ship silently without this
+        (advisor round-3 finding).  A later prompted wave then flips to
+        the prompted=True variant; both must equal one-shot synthesize."""
+        g_vars, plm_params, adm_params, hifi_params = _cascade_vars()
+        rng = np.random.RandomState(4)
+        # code-dependent mel (see test_prompted_request_matches_synthesize)
+        cb = g_vars["vq_stats"]["vqpe"]["vq"]["layers_0"]["_codebook"]
+        embed = jnp.asarray(rng.randn(*cb["embed"].shape), jnp.float32)
+        g_vars = dict(g_vars)
+        g_vars["vq_stats"] = {"vqpe": {"vq": {"layers_0": {"_codebook": {
+            "embed": embed, "embed_avg": embed,
+            "cluster_size": jnp.ones_like(cb["cluster_size"]),
+            "inited": jnp.ones_like(cb["inited"]),
+        }}}}}
+        TP = 64
+        Pe = 16
+        D = TINY_PLM.tc_latent_dim
+        prompt_tc = rng.randn(Pe, D).astype(np.float32)
+        prompt_codes = rng.randint(0, TINY_PLM.vq_bins, (Pe,)).astype(np.int32)
+        reqs = []
+        for i, tp in enumerate((40, 24, 33)):
+            r = {
+                "id": f"r{i}",
+                "phone": rng.randint(1, 40, (1, tp)).astype(np.int32),
+                "lens": np.full((1,), tp, np.int32),
+                "mels_prompt": rng.randn(1, 64, 80).astype(np.float32),
+                "prompt_codes": None,  # explicit unprompted placeholder
+            }
+            if i == 2:  # slots=2 → r2 arrives as its own (prompted) wave
+                r["prompt_tc"] = prompt_tc
+                r["prompt_codes"] = prompt_codes
+            reqs.append(r)
+        eng = ContinuousEngine(
+            g_vars, plm_params, adm_params, hifi_params,
+            TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+            slots=2, max_frames=96, chunk_frames=32, dtype=jnp.float32,
+            admit_tp_bucket=TP, prompt_tokens=Pe,
+        )
+        got = dict(eng.run(list(reqs)))
+        assert set(got) == {"r0", "r1", "r2"}
+        for r in reqs:
+            phone = np.zeros((1, TP), np.int32)
+            phone[0, : r["phone"].shape[1]] = r["phone"][0]
+            kw = {}
+            if r.get("prompt_codes") is not None:
+                kw = dict(
+                    plm_prompt_tc=jnp.asarray(prompt_tc[None]),
+                    plm_prompt_codes=jnp.asarray(prompt_codes[None]),
+                )
+            wav_full, _, n_frames = synthesize(
+                g_vars, plm_params, adm_params, hifi_params,
+                TINY_G, TINY_PLM, TINY_ADM, TINY_HIFI,
+                jnp.asarray(phone), jnp.asarray(r["lens"]),
+                jnp.asarray(r["mels_prompt"]),
+                max_frames=eng.Tmax, dtype=jnp.float32, **kw,
+            )
+            total = int(np.asarray(n_frames)[0]) * 256
+            assert got[r["id"]].shape[0] == total, r["id"]
+            np.testing.assert_allclose(
+                got[r["id"]], np.asarray(wav_full)[0, :total],
+                rtol=1e-4, atol=1e-4, err_msg=r["id"],
+            )
+
     def test_slots_always_busy(self):
         """With more requests than slots the engine keeps every slot
         occupied until the queue drains (no head-of-line blocking)."""
