@@ -503,6 +503,12 @@ class ContinuousEngine:
         self._defer_nf = False
         self._pending_nf: Optional[Tuple[Any, list]] = None
 
+    @property
+    def slots_busy(self) -> int:
+        """Occupied decode slots right now (serving observability —
+        exported by ``serve.py --http`` ``/metrics``)."""
+        return sum(r is not None for r in self.slot_req)
+
     def _install(self, pairs, nf_vec) -> None:
         """Fill the host slot table for an admitted wave.  ``nf_vec`` is
         the (S,) DEVICE n_frames vector whose row k corresponds to

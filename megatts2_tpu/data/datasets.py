@@ -24,6 +24,7 @@ import numpy as np
 from .features import FeatureReader
 from .manifest import CutManifest
 from .sampler import round_up
+from .shape_guard import safe_target_frames
 from ..text.symbol_table import SymbolTable
 
 MEL_PAD_MULTIPLE = 64
@@ -115,6 +116,8 @@ class GANBatchBuilder:
         )
         T = max(int(tgt_lens.max()), 128)
         T = round_up(T, MEL_PAD_MULTIPLE)
+        # dodge measured remote-compiler crash geometries (shape_guard.py)
+        T = safe_target_frames(len(cuts), T, self.max_timbre_frames)
         same_shard = len({c.feats_path for c in cuts}) == 1
         ticket = -1
         if self.native is not None and same_shard:

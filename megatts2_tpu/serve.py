@@ -99,6 +99,11 @@ def parse_args(argv=None):
                         "tiled + tail-truncated to this length)")
     p.add_argument("--prompt_n", type=int, default=3,
                    help="utterances per speaker prompt (prompt_speaker)")
+    p.add_argument("--request_timeout", type=float, default=600.0,
+                   help="seconds an HTTP request waits for synthesis "
+                        "before a 504 (its slot entry is dropped)")
+    p.add_argument("--max_body_bytes", type=int, default=1 << 20,
+                   help="reject HTTP bodies above this size with 413")
     p.add_argument("--admit_tp_bucket", type=int, default=0,
                    help=">0: continuous engine pads every admission to "
                         "this static phone bucket and fuses content prep "
@@ -251,6 +256,7 @@ def run_http(args, tts, _ready_cb=None):
                     "uptime_s": round(up, 1),
                     "utt_per_sec": round(stats["served"] / up, 3),
                     "slots": args.slots,
+                    "slots_busy": eng.slots_busy,
                 }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -265,6 +271,21 @@ def run_http(args, tts, _ready_cb=None):
                 return self.send_error(404)
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self.send_error(400, "bad Content-Length")
+            if n > args.max_body_bytes:
+                # Drain (bounded) before replying: closing the socket with
+                # an unread upload in flight RSTs the connection and the
+                # client never sees the 413, only a reset mid-upload.
+                remaining = min(n, 8 * args.max_body_bytes)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 16))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
+                return self.send_error(413, "request body too large")
+            try:
                 body = json.loads(self.rfile.read(n))
                 ids = tts.phone_ids(body["text"])[None]
                 req = {
@@ -282,7 +303,7 @@ def run_http(args, tts, _ready_cb=None):
             with results_mu:
                 results[req["id"]] = (ev, None)
             rq.put(req)
-            if not ev.wait(timeout=600):
+            if not ev.wait(timeout=args.request_timeout):
                 with results_mu:  # drop the slot so the table can't leak
                     results.pop(req["id"], None)
                 return self.send_error(504, "synthesis timed out")

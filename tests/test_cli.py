@@ -322,10 +322,18 @@ class TestServeEndToEnd:
                     f"http://127.0.0.1:{port}/healthz", timeout=60
                 ) as r:
                     assert r.read() == b"ok"
-                # error paths: unknown route 404, malformed body 400
+                # error paths: unknown route 404, malformed body 400,
+                # oversized body 413, unknown prompt speaker 400,
+                # missing keys 400 (serving robustness, r3 verdict #9)
                 for path, data, want in (
                     ("/nope", None, 404),
                     ("/synthesize", b"not json", 400),
+                    ("/synthesize", b"x" * ((1 << 20) + 1), 413),
+                    ("/synthesize", json.dumps(
+                        {"text": "hello", "wavs_dir": fx["prompts"],
+                         "prompt_speaker": "nobody"}).encode(), 400),
+                    ("/synthesize", json.dumps({"text": "hello"}).encode(),
+                     400),  # no wavs_dir
                 ):
                     try:
                         urllib.request.urlopen(

