@@ -230,6 +230,105 @@ def bench_gan_steps(ds: str, steps: int) -> None:
     }), flush=True)
 
 
+def bench_stage2(ds: str, generator_ckpt: str, generator_config: str) -> None:
+    """Stage-2 latent extraction throughput (latents/s) through the real
+    ``prepare_ds --stage 2`` path: jitted batched ``s2_latent`` (B=8,
+    length-sorted buckets) + per-cut .npy writes.  Reference counterpart
+    extracts ONE cut per CUDA call (``prepare_ds.py:224-258``)."""
+    from megatts2_tpu.data import CutManifest
+    from megatts2_tpu.prepare_ds import main as prep_main
+
+    n = len(CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))) + len(
+        CutManifest.load(os.path.join(ds, "cuts_valid.jsonl.gz"))
+    )
+    t0 = time.time()
+    prep_main([
+        "--stage", "2", "--ds_path", ds,
+        "--generator_ckpt", generator_ckpt,
+        "--generator_config", generator_config,
+    ])
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": "prepare_ds_stage2", "latents": n,
+        "wall_s": round(dt, 1), "latents_per_s": round(n / dt, 1),
+    }), flush=True)
+
+
+def _bench_lm_steps(stage: str, ds: str, steps: int, config: str) -> None:
+    """Loader-fed PLM/ADM train steps/s from real stage-2 latents — the
+    PLM prompt-prefix assembly (≤10 same-speaker latent concat,
+    ``PLMBatchBuilder``) is the host path most likely to collapse at
+    50 speakers × 200 utterances on a 1-core host (round-3 VERDICT #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from megatts2_tpu.config import load_adm_config, load_plm_config
+    from megatts2_tpu.data import CutManifest, DataLoader, DurationBucketSampler
+    from megatts2_tpu.data.datasets import ADMBatchBuilder, PLMBatchBuilder
+    from megatts2_tpu.training import (
+        create_adm_state,
+        create_plm_state,
+        make_adm_train_step,
+        make_plm_train_step,
+    )
+
+    manifest = CutManifest.load(os.path.join(ds, "cuts_train.jsonl.gz"))
+    if stage == "plm":
+        cfg, tcfg = load_plm_config(config)
+        builder = PLMBatchBuilder(manifest, ds, vq_bins=cfg.vq_bins)
+        sampler = DurationBucketSampler(
+            manifest, max_duration_batch=None, max_cuts=8, num_buckets=1, seed=0
+        )
+    else:
+        cfg, tcfg = load_adm_config(config)
+        builder = ADMBatchBuilder(
+            manifest, ds, max_duration_token=cfg.max_duration_token
+        )
+        sampler = DurationBucketSampler(
+            manifest, max_duration_batch=200.0, num_buckets=1, seed=0
+        )
+    loader = DataLoader(sampler, builder, prefetch=4)
+    it = iter(loader)
+    first = next(it)
+    rng = jax.random.PRNGKey(0)
+    if stage == "plm":
+        state, tx = create_plm_state(rng, cfg, tcfg, first)
+        step_fn, _ = make_plm_train_step(cfg, tcfg, tx)
+    else:
+        state, tx = create_adm_state(rng, cfg, tcfg, first)
+        step_fn, _ = make_adm_train_step(cfg, tcfg, tx)
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    state, m = step(state, {k: jnp.asarray(v) for k, v in first.items()})
+    jax.block_until_ready(m["loss"])
+
+    def run(n, it):
+        done = 0
+        while done < n:
+            for batch in it:
+                yield batch
+                done += 1
+                if done >= n:
+                    return
+            it = iter(loader)
+
+    warmup = min(30, steps)
+    for batch in run(warmup, it):
+        state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    done = 0
+    for batch in run(steps, iter(loader)):
+        state, m = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        done += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": f"{stage}_loader_fed_steps", "steps": done,
+        "steps_per_s": round(done / dt, 2), "wall_s": round(dt, 1),
+        "note": "full-size config, real stage-2 latents, loader + upload + device step",
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True)
@@ -244,6 +343,15 @@ def main():
     ap.add_argument("--loader_batches", type=int, default=50)
     ap.add_argument("--gan_steps", type=int, default=0,
                     help=">0: loader-fed full-size GAN steps on the device")
+    ap.add_argument("--skip_loader", action="store_true")
+    ap.add_argument("--stage2_ckpt", default="",
+                    help="orbax GAN checkpoint dir (or torch .ckpt): run + "
+                         "time stage-2 latent extraction over the corpus")
+    ap.add_argument("--stage2_config", default="configs/config_gan.yaml")
+    ap.add_argument("--plm_steps", type=int, default=0,
+                    help=">0: loader-fed full-size PLM steps from the "
+                         "stage-2 latents (needs --stage2_ckpt or a prior run)")
+    ap.add_argument("--adm_steps", type=int, default=0)
     args = ap.parse_args()
 
     from megatts2_tpu import enable_compilation_cache
@@ -260,9 +368,16 @@ def main():
         worker_list = [int(w) for w in args.workers.split(",")]
         for w in worker_list:
             run_stage(1, wavs, tgs, ds, w, n_files)
-    bench_loader(ds, args.loader_batches)
+    if not args.skip_loader:
+        bench_loader(ds, args.loader_batches)
     if args.gan_steps:
         bench_gan_steps(ds, args.gan_steps)
+    if args.stage2_ckpt:
+        bench_stage2(ds, args.stage2_ckpt, args.stage2_config)
+    if args.plm_steps:
+        _bench_lm_steps("plm", ds, args.plm_steps, "configs/config_plm.yaml")
+    if args.adm_steps:
+        _bench_lm_steps("adm", ds, args.adm_steps, "configs/config_adm.yaml")
 
 
 if __name__ == "__main__":
