@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Summarize a long-run GAN metrics jsonl (tools/long_train.py) into the
+BENCHMARKS.md publication: val curve, best val mel-L1, steps/s, and the
+RESUME EVIDENCE — every point where the append-mode log's step sequence
+jumps backwards is a kill+restore (cli.py restored the latest checkpoint
+and re-logged the steps since it), so curve continuity across those
+points is exactly the round-3 verdict #2 ask.
+
+    python tools/long_run_summary.py /tmp/pipe10k/logs50k/gan_metrics.jsonl
+"""
+import json
+import sys
+
+
+def main():
+    path = sys.argv[1]
+    rows = [json.loads(l) for l in open(path)]
+    resumes = []  # (restart_from_step, previous_max_step)
+    last = 0
+    for r in rows:
+        s = r["step"]
+        if s <= last and "train/steps_per_sec" in r:
+            resumes.append({"restored_to": s - 100, "killed_after": last})
+        last = max(last, s)
+
+    # effective curve: last value logged per step (post-resume overwrites)
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r["step"], {}).update(r)
+    val = [(s, round(d["val/loss_re"], 4)) for s, d in sorted(by_step.items())
+           if "val/loss_re" in d]
+    tr = [(s, round(d["train/G_loss_re"], 4)) for s, d in sorted(by_step.items())
+          if "train/G_loss_re" in d]
+    sps = sorted(d["train/steps_per_sec"] for d in by_step.values()
+                 if "train/steps_per_sec" in d)
+    wall = rows[-1]["time"] - rows[0]["time"]
+    best = min(val, key=lambda x: x[1]) if val else None
+    print(json.dumps({
+        "max_step": last,
+        "resume_events": resumes,
+        "best_val_loss_re": best,
+        "val_curve": val,
+        "train_loss_re_every_2k": tr[19::20],
+        "steps_per_sec_median": round(sps[len(sps) // 2], 1) if sps else None,
+        "total_wall_s": round(wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
