@@ -36,10 +36,21 @@ def save_checkpoint(
     metric: Optional[float] = None,
 ) -> str:
     """Save ``state`` under ``step_{step}`` and prune to the top-``keep``
-    checkpoints by ``metric`` (ascending) + the latest step."""
+    checkpoints by ``metric`` (ascending) + the latest step.
+
+    The state is fetched to host via the packed single-transfer path first
+    (``packed_fetch.fetch_pytree``) so orbax only touches host memory —
+    on the remote-tunnel TPU target the per-leaf ``device_get`` orbax
+    would otherwise do dominates save time (BENCHMARKS.md "Checkpoint
+    save cost").  ``MEGATTS2_PACKED_CKPT=0`` restores the direct path.
+    """
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
+    if os.environ.get("MEGATTS2_PACKED_CKPT", "1") != "0":
+        from .packed_fetch import fetch_pytree
+
+        state = fetch_pytree(state)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()

@@ -1,0 +1,80 @@
+"""Single-transfer device→host fetch of a train-state pytree.
+
+On the remote-tunnel TPU target, ``jax.device_get`` of a full train state
+pays roughly one tunnel round trip PER LEAF: the 50k-step GAN run's 2.1 GB
+checkpoint took ~95 s to fetch+write (~22 MB/s effective) even though bulk
+batch uploads sustain far more — the cost is per-array latency, not
+bandwidth.  The reference has no equivalent problem (its trainer process
+sits on the PCIe-attached GPU: ``torch.save`` streams at bus speed,
+models/trainer.py checkpoint callbacks) — this module is the TPU-native
+answer: concatenate all leaves of a dtype into ONE device array inside a
+jitted pack function (so the concat doesn't itself pay per-op dispatch),
+transfer each packed buffer once, and rebuild numpy leaves host-side.
+
+Hundreds of round trips collapse into one per distinct dtype (fp32 /
+int32 / …) at the price of one transient packed copy on device.  Measured
+numbers: BENCHMARKS.md "Checkpoint save cost" (round 4).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_pack_cache: dict = {}
+
+
+def _make_packer(order):
+    """Jitted packer for a fixed dtype→positions layout: takes the compact
+    array-leaf list, returns one raveled+concatenated buffer per dtype."""
+
+    def pack(arrs):
+        out = {}
+        for dt, idxs in order:
+            parts = [jnp.ravel(arrs[i]) for i in idxs]
+            out[dt] = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return out
+
+    return jax.jit(pack)
+
+
+def fetch_pytree(tree: Any) -> Any:
+    """Device→host copy of ``tree`` with one transfer per distinct dtype.
+
+    Returns a pytree of numpy arrays equal to ``jax.device_get(tree)``;
+    non-array leaves pass through unchanged.  The jitted pack function is
+    cached per (dtype, shape) structure — one compile per train-state
+    layout, then reused for every subsequent checkpoint save.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arr_idx = [i for i, l in enumerate(leaves)
+               if isinstance(l, (jax.Array, np.ndarray))]
+    if not arr_idx:
+        return tree
+    arrs = [jnp.asarray(leaves[i]) for i in arr_idx]
+
+    # group compact positions by dtype, preserving order within each group
+    groups: dict = {}
+    for pos, a in enumerate(arrs):
+        groups.setdefault(np.dtype(a.dtype).name, []).append(pos)
+    order = tuple((dt, tuple(idxs)) for dt, idxs in sorted(groups.items()))
+    key = (order, tuple(a.shape for a in arrs))
+    fn = _pack_cache.get(key)
+    if fn is None:
+        fn = _pack_cache[key] = _make_packer(order)
+
+    packed = fn(arrs)
+    host = {dt: np.asarray(buf) for dt, buf in packed.items()}  # 1 xfer/dtype
+
+    out = list(leaves)
+    for dt, idxs in order:
+        flat = host[dt]
+        off = 0
+        for pos in idxs:
+            shape = arrs[pos].shape
+            n = int(np.prod(shape, dtype=np.int64))
+            out[arr_idx[pos]] = flat[off:off + n].reshape(shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -198,3 +198,41 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(restored.params)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_packed_fetch_equals_device_get(self):
+        """The single-transfer pack/unpack path (packed_fetch.fetch_pytree,
+        used by save_checkpoint on the tunnel target where per-leaf
+        device_get dominates save time) must reproduce jax.device_get
+        bit-exactly over mixed dtypes, shapes, scalars and non-arrays."""
+        import jax.numpy as jnp
+
+        from megatts2_tpu.training.packed_fetch import fetch_pytree
+
+        rng = np.random.RandomState(0)
+        tree = {
+            "a": jnp.asarray(rng.randn(3, 5).astype(np.float32)),
+            "nested": {
+                "b": jnp.asarray(rng.randint(0, 9, (2, 2, 2)).astype(np.int32)),
+                "c": jnp.asarray(np.float32(3.25)),  # 0-d scalar
+                "d": jnp.asarray(rng.randn(7).astype(np.float32)),
+            },
+            "bf": jnp.asarray(rng.randn(4, 2), jnp.bfloat16),
+            "step": jnp.asarray(17, jnp.int32),
+            "none": None,
+            "py": 5,
+        }
+        got = fetch_pytree(tree)
+        want = jax.device_get(tree)
+        flat_g, tg = jax.tree_util.tree_flatten(got)
+        flat_w, tw = jax.tree_util.tree_flatten(want)
+        assert tg == tw
+        for g, w in zip(flat_g, flat_w):
+            if isinstance(w, np.ndarray) or hasattr(w, "dtype"):
+                assert np.asarray(g).dtype == np.asarray(w).dtype
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+            else:
+                assert g == w
+        assert got["py"] == 5
+        # cache reuse on a second call with the same structure
+        got2 = fetch_pytree(tree)
+        np.testing.assert_array_equal(np.asarray(got2["a"]), np.asarray(want["a"]))
