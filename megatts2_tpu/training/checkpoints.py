@@ -47,6 +47,16 @@ def save_checkpoint(
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
+    # Crash-resume hygiene: a save killed mid-write leaves a
+    # ``step_N.orbax-checkpoint-tmp*`` dir whose deterministic name
+    # collides when the resumed run re-saves the same step (observed on
+    # the 50k-run SIGKILL-at-20000).  The training loop is single-writer,
+    # so ANY existing tmp dir here is a stale casualty — remove them.
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(ckpt_dir, "step_*.orbax-checkpoint-tmp*")):
+        _shutil.rmtree(stale, ignore_errors=True)
     if os.environ.get("MEGATTS2_PACKED_CKPT", "1") != "0":
         from .packed_fetch import fetch_pytree
 

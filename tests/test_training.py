@@ -236,3 +236,26 @@ class TestCheckpoint:
         # cache reuse on a second call with the same structure
         got2 = fetch_pytree(tree)
         np.testing.assert_array_equal(np.asarray(got2["a"]), np.asarray(want["a"]))
+
+    def test_stale_tmp_dir_cleaned_on_resave(self, tmp_path):
+        """A SIGKILL mid-save leaves ``step_N.orbax-checkpoint-tmp`` whose
+        deterministic name collides when the resumed run re-saves step N
+        (observed on the 50k-run kill at step 20000); save_checkpoint must
+        clear stale tmp dirs first, and latest_checkpoint must never pick
+        them up."""
+        import jax.numpy as jnp
+
+        from megatts2_tpu.training.checkpoints import (
+            latest_checkpoint,
+            save_checkpoint,
+        )
+
+        ck = tmp_path / "ck"
+        stale = ck / "step_7.orbax-checkpoint-tmp"
+        stale.mkdir(parents=True)
+        (stale / "junk").write_text("partial write")
+        assert latest_checkpoint(str(ck)) is None  # tmp dirs are invisible
+        tree = {"w": jnp.arange(4, dtype=jnp.float32)}
+        path = save_checkpoint(str(ck), tree, 7)
+        assert not stale.exists()
+        assert latest_checkpoint(str(ck)) == path

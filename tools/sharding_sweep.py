@@ -73,6 +73,18 @@ def main():
                          "assert finite metrics (runtime pathologies)")
     args = ap.parse_args()
 
+    if args.execute:
+        # Reference-dims per-device compute on a 1-core host can exceed
+        # XLA-CPU's default 40 s collective-rendezvous termination timeout
+        # (8 simulated device threads share one core; the slowest thread's
+        # pre-collective compute window decides).  Raise both timeouts —
+        # this is a simulation artifact, not a sharding property.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        )
+
     from __graft_entry__ import _ensure_virtual_cpu_devices
 
     import jax
