@@ -26,28 +26,43 @@ import numpy as np
 _pack_cache: dict = {}
 
 
-def _make_packer(order):
+def _make_packer(order, n_chunks):
     """Jitted packer for a fixed dtype→positions layout: takes the compact
-    array-leaf list, returns one raveled+concatenated buffer per dtype."""
+    array-leaf list, returns per dtype a list of ~n_chunks even buffers
+    (raveled leaves concatenated in order, then split).
+
+    Why chunks: a SINGLE packed buffer minimizes round trips but
+    serializes the device→host transfer into one stream; the tunnel
+    target sustains materially more aggregate bandwidth over concurrent
+    streams (orbax's per-leaf fetch is slow because 663 leaves ×
+    per-transfer latency, not because parallelism is wrong).  A handful
+    of large chunks fetched from a thread pool gets both: few round
+    trips AND parallel streams."""
 
     def pack(arrs):
         out = {}
         for dt, idxs in order:
             parts = [jnp.ravel(arrs[i]) for i in idxs]
-            out[dt] = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            buf = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            n = max(1, min(n_chunks, buf.size))
+            edges = [buf.size * k // n for k in range(n + 1)]
+            out[dt] = [buf[edges[k]:edges[k + 1]] for k in range(n)]
         return out
 
     return jax.jit(pack)
 
 
-def fetch_pytree(tree: Any) -> Any:
-    """Device→host copy of ``tree`` with one transfer per distinct dtype.
+def fetch_pytree(tree: Any, n_chunks: int = 16, n_streams: int = 8) -> Any:
+    """Device→host copy of ``tree`` with ~``n_chunks`` large transfers per
+    distinct dtype, fetched over ``n_streams`` concurrent streams.
 
     Returns a pytree of numpy arrays equal to ``jax.device_get(tree)``;
     non-array leaves pass through unchanged.  The jitted pack function is
     cached per (dtype, shape) structure — one compile per train-state
     layout, then reused for every subsequent checkpoint save.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arr_idx = [i for i, l in enumerate(leaves)
                if isinstance(l, (jax.Array, np.ndarray))]
@@ -60,13 +75,20 @@ def fetch_pytree(tree: Any) -> Any:
     for pos, a in enumerate(arrs):
         groups.setdefault(np.dtype(a.dtype).name, []).append(pos)
     order = tuple((dt, tuple(idxs)) for dt, idxs in sorted(groups.items()))
-    key = (order, tuple(a.shape for a in arrs))
+    key = (order, tuple(a.shape for a in arrs), n_chunks)
     fn = _pack_cache.get(key)
     if fn is None:
-        fn = _pack_cache[key] = _make_packer(order)
+        fn = _pack_cache[key] = _make_packer(order, n_chunks)
 
     packed = fn(arrs)
-    host = {dt: np.asarray(buf) for dt, buf in packed.items()}  # 1 xfer/dtype
+    chunks = [(dt, k, c) for dt, cs in packed.items() for k, c in enumerate(cs)]
+    with ThreadPoolExecutor(max_workers=max(1, n_streams)) as ex:
+        fetched = list(ex.map(lambda t: (t[0], t[1], np.asarray(t[2])), chunks))
+    host = {}
+    for dt, k, c in sorted(fetched, key=lambda t: (t[0], t[1])):
+        host.setdefault(dt, []).append(c)
+    host = {dt: np.concatenate(cs) if len(cs) > 1 else cs[0]
+            for dt, cs in host.items()}
 
     out = list(leaves)
     for dt, idxs in order:
