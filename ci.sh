@@ -22,6 +22,12 @@ EOF
 
 echo "== sharding sweep (SPMD warnings) =="
 python tools/sharding_sweep.py --small
+# Pre-release (slow, not run in CI): the full-dims EXECUTED sweep —
+#   python tools/sharding_sweep.py --execute
+# runs one real sharded train step per stage at reference dims on the
+# 8-device virtual mesh.  Last clean run (round 4, 1-core host, 4x2
+# mesh, sweep_ok=true, zero SPMD warnings, all metrics finite):
+#   gan 515 s / plm 1147 s / adm 18 s / vocoder 1348 s (wall, CPU-sim)
 
 echo "== pytest =="
 if [ "${1:-}" = "quick" ]; then
