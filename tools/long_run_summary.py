@@ -15,12 +15,14 @@ import sys
 def main():
     path = sys.argv[1]
     rows = [json.loads(l) for l in open(path)]
-    resumes = []  # (restart_from_step, previous_max_step)
+    resumes = []  # fire once per backwards jump in the append-only log
     last = 0
+    prev = 0
     for r in rows:
         s = r["step"]
-        if s <= last and "train/steps_per_sec" in r:
+        if s < prev and "train/steps_per_sec" in r:
             resumes.append({"restored_to": s - 100, "killed_after": last})
+        prev = s
         last = max(last, s)
 
     # effective curve: last value logged per step (post-resume overwrites)
