@@ -197,6 +197,15 @@ class Megatts:
             else:
                 hifi_params = cast(hifi_params)
             g_vars = {"params": cast(g_vars["params"]), "vq_stats": g_vars["vq_stats"]}
+        # Commit all variable trees to the device once.  Checkpoint-loaded
+        # trees arrive as numpy; leaving them host-side makes every
+        # synthesize() call re-transfer the full ~775 MB through the axon
+        # tunnel (tens of seconds per call) AND leak the plugin's staging
+        # buffers (measured: OOM after ~134 calls on a 125 GB host).  Random
+        # -init jax trees pass through unchanged.
+        g_vars, plm_params, adm_params, hifi_params = jax.device_put(
+            (g_vars, plm_params, adm_params, hifi_params)
+        )
         self.g_vars = g_vars
         self.plm_params = plm_params
         self.adm_params = adm_params

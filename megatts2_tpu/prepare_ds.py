@@ -222,7 +222,15 @@ class DatasetMaker:
                            method=MegaG.s2_latent)
 
         s2 = jax.jit(s2_fn)
-        variables = {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]}
+        # Commit the (orbax-loaded, numpy) generator tree to the device ONCE.
+        # Passing a numpy tree as a jit argument re-transfers all ~775 MB of
+        # it through the tunnel on EVERY call (~25 s/batch), and the axon
+        # plugin never releases the staging buffers — a 10k-utterance
+        # extraction OOM-killed a 125 GB host at batch 134 before this.
+        variables = jax.device_put(
+            {"params": g_vars["params"], "vq_stats": g_vars["vq_stats"]}
+        )
+        jax.block_until_ready(variables)
 
         # batched extraction: sort by length so padded batches are tight,
         # run B cuts per device pass (the reference extracts one cut per

@@ -147,6 +147,13 @@ class TestMegattsE2E:
             max_frames=128,
             dtype=jnp.float32,
         )
+        # checkpoint-loaded trees must be COMMITTED jax arrays, not numpy:
+        # numpy leaves as jit args re-transfer the full tree every call
+        # (and leak the axon plugin's staging buffers — OOM at 10k-utt
+        # scale before this was enforced in Megatts.__init__)
+        for tree in (tts.g_vars, tts.plm_params, tts.adm_params, tts.hifi_params):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                assert isinstance(leaf, jax.Array), type(leaf)
         out_path = str(s["root"] / "out.wav")
         wav = tts(s["wavs"], "hello world", out_path=out_path)
         assert os.path.exists(out_path)
