@@ -663,12 +663,19 @@ class ContinuousEngine:
         wave's shapes, in a background thread (compile only, never
         executed).  The persistent compilation cache makes the later real
         jit call a cache hit instead of a multi-minute remote compile.
-        Once per (prompted, Tp, Tm); failures are non-fatal (the real
-        call would just compile cold, the pre-fix behavior)."""
+        Marked warmed only on SUCCESS: a transient compile failure (tunnel
+        5xx/timeout) must not permanently disable warming for the shape —
+        the next wave retries.  Failures are logged but non-fatal (the
+        real call would just compile cold, the pre-fix behavior)."""
         key = (prompted, Tp, Tm)
         if key in self._warmed_admit:
             return
-        self._warmed_admit.add(key)
+        inflight = getattr(self, "_warming_admit", None)
+        if inflight is None:
+            inflight = self._warming_admit = set()
+        if key in inflight:  # a warm thread for this shape is already up
+            return
+        inflight.add(key)
         g_vars, plm_params, adm_params, _ = self.params
         g_cfg, plm_cfg, adm_cfg, _ = self.cfgs
         P = self.Pe if prompted else 1
@@ -696,8 +703,16 @@ class ContinuousEngine:
                     self.rv, self.rd, self.dtype, self.quant,
                     prompted, self.Pe,
                 ).compile()
-            except Exception:
-                pass
+                self._warmed_admit.add(key)
+            except Exception as e:
+                import logging
+
+                logging.getLogger("megatts2_tpu.continuous").warning(
+                    "prep_admit variant warm failed for %s (%s); will "
+                    "retry on the next admission wave", key, type(e).__name__,
+                )
+            finally:
+                self._warming_admit.discard(key)
 
         import threading
 

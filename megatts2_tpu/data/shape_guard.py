@@ -33,8 +33,16 @@ KNOWN_BAD: FrozenSet[Tuple[int, int, int]] = frozenset({
     (8, 256, 2048),
 })
 
-# Measured-good anchors, kept for documentation/tests: (12, 256, 512),
-# (8, 512, 512).
+# Measured-good (B, T_target) anchors — shapes EXECUTED (not just
+# compiled) at scale on the real chip, safe for every reachable timbre
+# bucket ≤ 2048: (8, 320) ran 1250 stage-2 batches across timbre buckets
+# 256/512/1024 (round-4 10k-utterance extraction); (12, 256) ran the
+# 50k-step GAN training; (8, 512) ran the round-1..3 training benches.
+KNOWN_GOOD: FrozenSet[Tuple[int, int]] = frozenset({
+    (8, 320),
+    (12, 256),
+    (8, 512),
+})
 
 _warned: set = set()
 
@@ -65,14 +73,25 @@ def safe_target_frames(b: int, t_target: int, max_timbre_frames: int) -> int:
     # KNOWN_BAD is finite, so this terminates (bounded by max bad T + 64).
     while any(is_known_bad(b, t, tm) for tm in buckets):
         t += MEL_PAD_MULTIPLE
+    # Prefer a MEASURED-GOOD anchor over a merely not-known-bad shape: an
+    # unprobed T' could itself trip the compiler bug.  If an executed-at-
+    # scale anchor for this B sits within 2 pad steps, take it.
+    if t != t_target and (b, t) not in KNOWN_GOOD:
+        for tg in sorted(tg for (bg, tg) in KNOWN_GOOD
+                         if bg == b and t <= tg <= t + 2 * MEL_PAD_MULTIPLE):
+            t = tg
+            break
     if t != t_target and (b, t_target) not in _warned:
         _warned.add((b, t_target))
         log.warning(
             "batch shape (B=%d, T=%d) is a known remote-compiler crash "
             "geometry with reachable timbre buckets %s; padding the "
-            "target bucket to T=%d (semantically free — losses mask by "
-            "mel_target_lens).  See BENCHMARKS.md 'Input pipeline' and "
-            "tools/probe_crash_geometry.py.",
+            "target bucket to T=%d (%s; semantically free — losses mask "
+            "by mel_target_lens).  See BENCHMARKS.md 'Input pipeline' "
+            "and tools/probe_crash_geometry.py.",
             b, t_target, buckets, t,
+            "a measured-good anchor" if (b, t) in KNOWN_GOOD
+            else "not known bad, but unprobed — consider extending the "
+                 "grid with tools/probe_crash_geometry.py",
         )
     return t

@@ -131,11 +131,14 @@ def make_prompt_resolver(args):
     # LRU-bounded: each entry holds (P,D)+(P,) arrays (~0.5 MB at
     # P=2048), and the HTTP server lives for days — unbounded growth
     # with distinct (cuts, speaker) keys would leak RSS monotonically.
-    # The resolver is called from ThreadingHTTPServer handler threads,
-    # so all cache mutation happens under one lock and the resolved
-    # value is captured in a local (a concurrent eviction between the
-    # membership check and a re-read would otherwise raise KeyError).
+    # The resolver is called from ThreadingHTTPServer handler threads:
+    # dict mutation happens under one lock, but the expensive disk
+    # resolve runs OUTSIDE it behind a per-key Event — concurrent
+    # requests on the same new key dedupe (followers wait on the event),
+    # while requests on other keys (including cache hits) never block
+    # behind an unrelated multi-second resolve.
     cache = OrderedDict()
+    pending: dict = {}  # key -> threading.Event, set when resolve lands
     max_entries = 128
     mu = threading.Lock()
 
@@ -145,20 +148,34 @@ def make_prompt_resolver(args):
         if not ids and not spk:
             return None
         key = (ids, spk)
-        with mu:
-            if key in cache:
-                cache.move_to_end(key)
-                return cache[key]
-            # resolve under the lock: racing threads on the same new key
-            # would duplicate the expensive disk resolve otherwise
-            val = resolve_prompt(
-                args.prompt_ds, cut_ids=list(ids) or None, speaker=spk,
-                n=args.prompt_n, manifest=manifest,
-            )
-            cache[key] = val
-            while len(cache) > max_entries:
-                cache.popitem(last=False)
-        return val
+        while True:
+            with mu:
+                if key in cache:
+                    cache.move_to_end(key)
+                    return cache[key]
+                ev = pending.get(key)
+                if ev is None:
+                    ev = pending[key] = threading.Event()
+                    leader = True
+                else:
+                    leader = False
+            if not leader:
+                ev.wait()
+                continue  # re-check the cache (or re-lead if it errored)
+            try:
+                val = resolve_prompt(
+                    args.prompt_ds, cut_ids=list(ids) or None, speaker=spk,
+                    n=args.prompt_n, manifest=manifest,
+                )
+                with mu:
+                    cache[key] = val
+                    while len(cache) > max_entries:
+                        cache.popitem(last=False)
+                return val
+            finally:
+                with mu:
+                    pending.pop(key, None)
+                ev.set()
 
     return resolver
 

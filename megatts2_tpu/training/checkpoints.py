@@ -60,7 +60,22 @@ def save_checkpoint(
     if os.environ.get("MEGATTS2_PACKED_CKPT", "1") != "0":
         from .packed_fetch import fetch_pytree
 
-        state = fetch_pytree(state)
+        try:
+            state = fetch_pytree(state)
+        except Exception as e:  # pragma: no cover - device-OOM path
+            # The packed path materializes one transient copy of the state
+            # on device; a model using more than ~half of HBM can train
+            # fine yet OOM here.  Fall back to orbax's per-leaf fetch
+            # (slow but copy-free) instead of killing the run at a save.
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            import logging
+
+            logging.getLogger("megatts2_tpu.checkpoints").warning(
+                "packed checkpoint fetch failed (%s); falling back to the "
+                "per-leaf device_get path for this save.  Set "
+                "MEGATTS2_PACKED_CKPT=0 to silence.", type(e).__name__,
+            )
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()

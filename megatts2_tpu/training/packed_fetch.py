@@ -64,11 +64,15 @@ def fetch_pytree(tree: Any, n_chunks: int = 16, n_streams: int = 8) -> Any:
     from concurrent.futures import ThreadPoolExecutor
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arr_idx = [i for i, l in enumerate(leaves)
-               if isinstance(l, (jax.Array, np.ndarray))]
+    # Only DEVICE arrays go through the packer.  Host numpy leaves pass
+    # through as-is: round-tripping them via jnp.asarray would upload them
+    # through the tunnel just to fetch them back, and (with x64 disabled)
+    # silently narrow float64/int64 to 32-bit — breaking the documented
+    # jax.device_get equivalence.
+    arr_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
     if not arr_idx:
         return tree
-    arrs = [jnp.asarray(leaves[i]) for i in arr_idx]
+    arrs = [leaves[i] for i in arr_idx]
 
     # group compact positions by dtype, preserving order within each group
     groups: dict = {}

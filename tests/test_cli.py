@@ -383,3 +383,97 @@ class TestServeEndToEnd:
         for i in (0, 1):
             sr, data = wavfile.read(io.BytesIO(results[i]))
             assert sr == 16000 and data.size > 0
+
+
+class TestPromptResolverConcurrency:
+    """make_prompt_resolver is called from ThreadingHTTPServer handler
+    threads; the round-3 advisor flagged the unlocked LRU (KeyError on
+    racing eviction, duplicated resolves), and the round-4 review flagged
+    the fix's head-of-line blocking (global lock held across the disk
+    resolve).  These tests pin the final design: per-key dedupe via an
+    Event, cache hits never waiting behind an unrelated slow resolve."""
+
+    def _make(self, monkeypatch, resolve_stub):
+        import types
+
+        import megatts2_tpu.data as data_mod
+        from megatts2_tpu.serve import make_prompt_resolver
+
+        monkeypatch.setattr(data_mod, "load_prompt_manifest", lambda ds: None)
+        monkeypatch.setattr(data_mod, "resolve_prompt", resolve_stub)
+        args = types.SimpleNamespace(prompt_ds="x", prompt_n=2)
+        return make_prompt_resolver(args)
+
+    def test_concurrent_same_key_resolves_once(self, monkeypatch):
+        import threading
+        import time
+
+        calls = []
+        mu = threading.Lock()
+
+        def stub(ds, cut_ids=None, speaker=None, n=0, manifest=None):
+            with mu:
+                calls.append(speaker)
+            time.sleep(0.05)
+            return (np.zeros((4, 8), np.float32), np.zeros((4,), np.int32))
+
+        resolver = self._make(monkeypatch, stub)
+        errs = []
+
+        def worker():
+            try:
+                out = resolver({"prompt_speaker": "spkA"})
+                assert out[0].shape == (4, 8)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker) for _ in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        assert len(calls) == 1  # 7 followers waited on the leader's Event
+
+    def test_cache_hit_not_blocked_by_slow_resolve(self, monkeypatch):
+        import threading
+        import time
+
+        def stub(ds, cut_ids=None, speaker=None, n=0, manifest=None):
+            if speaker == "slow":
+                time.sleep(1.0)
+            return (np.zeros((2, 4), np.float32), np.zeros((2,), np.int32))
+
+        resolver = self._make(monkeypatch, stub)
+        resolver({"prompt_speaker": "fast"})  # warm the cache
+
+        t = threading.Thread(target=resolver, args=({"prompt_speaker": "slow"},))
+        t.start()
+        time.sleep(0.05)  # the slow resolve is now in flight
+        t0 = time.time()
+        out = resolver({"prompt_speaker": "fast"})
+        dt = time.time() - t0
+        t.join()
+        assert out[0].shape == (2, 4)
+        assert dt < 0.5, f"cache hit blocked {dt:.2f}s behind an unrelated resolve"
+
+    def test_eviction_hammering_no_keyerror(self, monkeypatch):
+        import threading
+
+        def stub(ds, cut_ids=None, speaker=None, n=0, manifest=None):
+            return (np.zeros((1, 2), np.float32), np.zeros((1,), np.int32))
+
+        resolver = self._make(monkeypatch, stub)
+        errs = []
+
+        def worker(base):
+            try:
+                for i in range(120):  # > max_entries/2 distinct keys/thread
+                    out = resolver({"prompt_speaker": f"s{base}_{i}"})
+                    assert out is not None
+                    resolver({"prompt_speaker": "shared"})
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker, args=(b,)) for b in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs

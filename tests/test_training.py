@@ -220,6 +220,11 @@ class TestCheckpoint:
             "step": jnp.asarray(17, jnp.int32),
             "none": None,
             "py": 5,
+            # host numpy leaves must pass through UNTOUCHED — routing
+            # them through the device would silently narrow 64-bit
+            # dtypes (x64 off) and pay a pointless tunnel round trip
+            "host64": np.asarray([1, 2, 3], np.int64),
+            "hostf64": np.float64(0.125),
         }
         got = fetch_pytree(tree)
         want = jax.device_get(tree)

@@ -15,13 +15,25 @@ import sys
 def main():
     path = sys.argv[1]
     rows = [json.loads(l) for l in open(path)]
+    # logging cadence inferred from the data (NOT assumed): the modal
+    # positive step delta between consecutive rows of the same metric
+    deltas = {}
+    prev_s = None
+    for r in rows:
+        if "train/steps_per_sec" in r:
+            if prev_s is not None and r["step"] > prev_s:
+                d = r["step"] - prev_s
+                deltas[d] = deltas.get(d, 0) + 1
+            prev_s = r["step"]
+    cadence = max(deltas, key=deltas.get) if deltas else 0
     resumes = []  # fire once per backwards jump in the append-only log
     last = 0
     prev = 0
     for r in rows:
         s = r["step"]
         if s < prev and "train/steps_per_sec" in r:
-            resumes.append({"restored_to": s - 100, "killed_after": last})
+            # first re-logged row sits one cadence past the restore point
+            resumes.append({"restored_to": s - cadence, "killed_after": last})
         prev = s
         last = max(last, s)
 
