@@ -495,8 +495,11 @@ class ContinuousEngine:
         # prep+prefill+admit into a single dispatch (_admit_many_fused)
         self.admit_tp_bucket = int(admit_tp_bucket)
         # prep_admit prompted-variants already warmed, keyed by
-        # (prompted, Tp, Tm) — see _warm_admit_variant
+        # (prompted, Tp, Tm) — see _warm_admit_variant; _warming_admit
+        # tracks in-flight warms (initialized here, not lazily, so two
+        # concurrent callers can never each create a set and double-warm)
         self._warmed_admit: set = set()
+        self._warming_admit: set = set()
         # online loop: the admission wave's n_frames sync is deferred past
         # the next tick dispatch (slot_frames -1 = not yet known; the
         # device-side total comes from admit_slots' in-graph total_codes)
@@ -670,9 +673,7 @@ class ContinuousEngine:
         key = (prompted, Tp, Tm)
         if key in self._warmed_admit:
             return
-        inflight = getattr(self, "_warming_admit", None)
-        if inflight is None:
-            inflight = self._warming_admit = set()
+        inflight = self._warming_admit
         if key in inflight:  # a warm thread for this shape is already up
             return
         inflight.add(key)

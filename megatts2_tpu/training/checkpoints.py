@@ -49,32 +49,35 @@ def save_checkpoint(
     path = os.path.join(ckpt_dir, f"step_{step}")
     # Crash-resume hygiene: a save killed mid-write leaves a
     # ``step_N.orbax-checkpoint-tmp*`` dir whose deterministic name
-    # collides when the resumed run re-saves the same step (observed on
-    # the 50k-run SIGKILL-at-20000).  The training loop is single-writer,
-    # so ANY existing tmp dir here is a stale casualty — remove them.
+    # collides when the resumed run re-saves the SAME step (observed on
+    # the 50k-run SIGKILL-at-20000).  Only this step's tmp dirs can
+    # collide, so the glob is scoped to them — a broad ``step_*`` sweep
+    # would destroy an in-flight save if a second writer ever shared the
+    # dir (advisor r4).
     import glob as _glob
     import shutil as _shutil
 
-    for stale in _glob.glob(os.path.join(ckpt_dir, "step_*.orbax-checkpoint-tmp*")):
+    for stale in _glob.glob(
+        os.path.join(ckpt_dir, f"step_{step}.orbax-checkpoint-tmp*")
+    ):
         _shutil.rmtree(stale, ignore_errors=True)
     if os.environ.get("MEGATTS2_PACKED_CKPT", "1") != "0":
         from .packed_fetch import fetch_pytree
 
         try:
             state = fetch_pytree(state)
-        except Exception as e:  # pragma: no cover - device-OOM path
+        except Exception as e:  # pragma: no cover - device-OOM/tunnel path
             # The packed path materializes one transient copy of the state
-            # on device; a model using more than ~half of HBM can train
-            # fine yet OOM here.  Fall back to orbax's per-leaf fetch
-            # (slow but copy-free) instead of killing the run at a save.
-            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
-                raise
+            # on device (can OOM) and rides the remote tunnel (can 5xx /
+            # time out).  The per-leaf orbax fetch below is ALWAYS safe,
+            # so fall back on ANY failure rather than string-matching the
+            # error and killing a long run at a save (advisor r4).
             import logging
 
             logging.getLogger("megatts2_tpu.checkpoints").warning(
-                "packed checkpoint fetch failed (%s); falling back to the "
-                "per-leaf device_get path for this save.  Set "
-                "MEGATTS2_PACKED_CKPT=0 to silence.", type(e).__name__,
+                "packed checkpoint fetch failed (%s: %s); falling back to "
+                "the per-leaf device_get path for this save.  Set "
+                "MEGATTS2_PACKED_CKPT=0 to silence.", type(e).__name__, e,
             )
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)

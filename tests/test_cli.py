@@ -434,12 +434,21 @@ class TestPromptResolverConcurrency:
         assert len(calls) == 1  # 7 followers waited on the leader's Event
 
     def test_cache_hit_not_blocked_by_slow_resolve(self, monkeypatch):
+        # Ordering gate, not a wall-clock bound (a dt<0.5s assertion flaked
+        # under parallel CI load on this 1-core host — advisor r4): the slow
+        # resolve blocks on an Event the main thread sets only AFTER the
+        # cache hit returns.  If a cache hit were serialized behind the
+        # in-flight resolve, the wait times out and `ordered` records False.
         import threading
-        import time
+
+        release = threading.Event()
+        slow_started = threading.Event()
+        ordered = []
 
         def stub(ds, cut_ids=None, speaker=None, n=0, manifest=None):
             if speaker == "slow":
-                time.sleep(1.0)
+                slow_started.set()
+                ordered.append(release.wait(timeout=30.0))
             return (np.zeros((2, 4), np.float32), np.zeros((2,), np.int32))
 
         resolver = self._make(monkeypatch, stub)
@@ -447,13 +456,14 @@ class TestPromptResolverConcurrency:
 
         t = threading.Thread(target=resolver, args=({"prompt_speaker": "slow"},))
         t.start()
-        time.sleep(0.05)  # the slow resolve is now in flight
-        t0 = time.time()
+        assert slow_started.wait(timeout=30.0)  # the slow resolve is in flight
         out = resolver({"prompt_speaker": "fast"})
-        dt = time.time() - t0
+        release.set()  # the cache hit returned while "slow" was still blocked
         t.join()
         assert out[0].shape == (2, 4)
-        assert dt < 0.5, f"cache hit blocked {dt:.2f}s behind an unrelated resolve"
+        assert ordered == [True], (
+            "cache hit blocked behind an unrelated in-flight resolve"
+        )
 
     def test_eviction_hammering_no_keyerror(self, monkeypatch):
         import threading
