@@ -165,6 +165,7 @@ def main(argv=None):
             "gan", state, step_fn, train_f, tcfg.max_steps,
             log_dir=args.log_dir, ckpt_dir=ckpt_dir,
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            save_every_n_vals=tcfg.save_every_n_vals,
             eval_step=lambda s, b: {"loss_re": eval_fn(s, b)["loss_re"]},
             valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
             artifact_fn=artifact_fn, monitor="loss_re",
@@ -192,6 +193,7 @@ def main(argv=None):
             "plm", state, step_fn, train_f, tcfg.max_steps,
             log_dir=args.log_dir, ckpt_dir=ckpt_dir,
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            save_every_n_vals=tcfg.save_every_n_vals,
             eval_step=eval_fn, valid_loader_factory=valid_f, mesh=mesh,
             trace_dir=args.trace_dir,
         )
@@ -220,6 +222,7 @@ def main(argv=None):
             "vocoder", state, step_fn, train_f, tcfg.max_steps,
             log_dir=args.log_dir, ckpt_dir=ckpt_dir,
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            save_every_n_vals=tcfg.save_every_n_vals,
             eval_step=lambda s, b: {"loss": eval_fn(s, b)["loss"]},
             valid_loader_factory=valid_f, mesh=mesh, trace_dir=args.trace_dir,
         )
@@ -249,6 +252,7 @@ def main(argv=None):
             "adm", state, step_fn, train_f, tcfg.max_steps,
             log_dir=args.log_dir, ckpt_dir=ckpt_dir,
             log_every=tcfg.log_every_n_steps, val_every=tcfg.val_check_interval,
+            save_every_n_vals=tcfg.save_every_n_vals,
             eval_step=eval_fn, valid_loader_factory=valid_f, mesh=mesh,
             trace_dir=args.trace_dir,
         )

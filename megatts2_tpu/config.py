@@ -201,6 +201,10 @@ class VocoderTrainConfig:
     train_dtype: str = "bfloat16"
     log_every_n_steps: int = 100
     val_check_interval: int = 1500
+    # checkpoint on every k-th validation (saves ride the remote tunnel at
+    # ~25 MB/s — a full-size save costs ~1.5 min, so at-scale runs decouple
+    # save cadence from the val curve's cadence)
+    save_every_n_vals: int = 1
     seed: int = 0
 
 
@@ -215,6 +219,7 @@ class TrainConfig:
     train_dtype: str = "bfloat16"
     log_every_n_steps: int = 100
     val_check_interval: int = 1500
+    save_every_n_vals: int = 1  # see VocoderTrainConfig
     seed: int = 0
 
 

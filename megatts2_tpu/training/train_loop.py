@@ -37,6 +37,7 @@ def run_training(
     keep_ckpts: int = 5,
     artifact_fn: Optional[Callable] = None,
     monitor: str = "loss",
+    save_every_n_vals: int = 1,
 ):
     mesh = mesh or make_mesh()
     logger = MetricsLogger(log_dir, name)
@@ -47,6 +48,7 @@ def run_training(
 
     step = int(np.asarray(state.step))
     epoch = 0
+    n_vals = 0
     while step < max_steps:
         for batch in train_loader_factory(epoch):
             if step >= max_steps:
@@ -77,7 +79,11 @@ def run_training(
                         artifact_fn(state, first_batch, step)
                     except Exception as e:  # artifacts must never kill training
                         print(f"[val artifacts] skipped: {e}")
-                if ckpt_dir:
+                n_vals += 1
+                # a full-size save costs ~1.5 min over the remote tunnel;
+                # save_every_n_vals>1 keeps the val curve dense while
+                # checkpointing sparsely (the final save below always runs)
+                if ckpt_dir and n_vals % max(save_every_n_vals, 1) == 0:
                     save_checkpoint(
                         ckpt_dir, state, step, keep=keep_ckpts,
                         metric=vm.get(monitor),

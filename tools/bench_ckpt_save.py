@@ -56,7 +56,19 @@ def main():
                       "leaves": len(leaves), "gb": round(nbytes / 1e9, 2)}),
           flush=True)
 
-    out = {"leaves": len(leaves), "gb": round(nbytes / 1e9, 2)}
+    # CRITICAL: arrays uploaded from numpy keep their HOST buffer, so
+    # fetching them is a no-op (the round-4 run measured device_get at
+    # 0.0 s — fake).  A real training state is DEVICE-BORN (produced by
+    # jitted steps); reproduce that by passing the tree through a jitted
+    # identity+0 so every leaf is a fresh device-only array, as during
+    # training, and every fetch pays the real tunnel transfer.
+    dev_tree = jax.jit(
+        lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
+    )(dev_tree)
+    jax.block_until_ready(jax.tree_util.tree_leaves(dev_tree)[0])
+
+    out = {"leaves": len(leaves), "gb": round(nbytes / 1e9, 2),
+           "state": "device-born (jitted copy; fetches pay the tunnel)"}
 
     # raw transfer: per-leaf device_get vs packed variants
     variants = (
