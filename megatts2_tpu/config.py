@@ -216,6 +216,13 @@ class TrainConfig:
     G_commit_loss_coeff: float = 0.15
     G_vq_loss_coeff: float = 0.05
     G_adv_loss_coeff: float = 1.0
+    # >0: maintain an EMA copy of the generator weights and use it for
+    # validation / checkpoint selection / inference export.  Long GAN runs
+    # drift past their val minimum (round-4 50k run: best 0.2550@28k then
+    # 0.277@50k); EMA decouples the evaluated weights from the adversarial
+    # wobble.  The reference has no equivalent (it just trains 600k steps
+    # and relies on ModelCheckpoint top-k).
+    g_ema_decay: float = 0.0
     train_dtype: str = "bfloat16"
     log_every_n_steps: int = 100
     val_check_interval: int = 1500

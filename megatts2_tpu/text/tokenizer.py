@@ -63,16 +63,29 @@ class TextTokenizer:
         self.pinyin2lty = load_pinyin_dict(pinyin_dict_path)
 
     def _hanzi_to_pinyin(self, text: str) -> List[str]:
-        if not _HAS_PYPINYIN:
-            raise RuntimeError(
-                "pypinyin is not installed; pass romanized TONE3 pinyin "
-                "(e.g. 'ni3 hao3') or install pypinyin for hanzi input."
-            )
+        if _HAS_PYPINYIN:
+            out = []
+            for py in _pinyin(text, style=Style.TONE3, neutral_tone_with_five=True):
+                if not py[0][-1].isalnum():
+                    raise ValueError(f"unexpected pinyin: {py[0]!r}")
+                out.append(py[0])
+            return out
+        # vendored per-character fallback (common single-reading chars;
+        # same TONE3/neutral-5 convention) — keeps the hanzi pipeline
+        # usable and CI-testable without the optional dependency
+        from .hanzi_fallback import HANZI_TONE3
+
         out = []
-        for py in _pinyin(text, style=Style.TONE3, neutral_tone_with_five=True):
-            if not py[0][-1].isalnum():
-                raise ValueError(f"unexpected pinyin: {py[0]!r}")
-            out.append(py[0])
+        for ch in text:
+            py = HANZI_TONE3.get(ch)
+            if py is None:
+                raise RuntimeError(
+                    f"pypinyin is not installed and {ch!r} is not in the "
+                    "vendored fallback table; pass romanized TONE3 pinyin "
+                    "(e.g. 'ni3 hao3') or install pypinyin for full hanzi "
+                    "coverage."
+                )
+            out.append(py)
         return out
 
     def phonemize(self, text: str) -> str:

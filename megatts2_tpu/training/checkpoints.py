@@ -121,7 +121,9 @@ def load_generator_from_orbax(path: str) -> dict:
             raise FileNotFoundError(f"no step_* checkpoints under {path}")
         path = latest
     tree = restore_pytree(path)
-    return {"params": tree["g_params"], "vq_stats": tree["vq_stats"]}
+    # EMA runs validate/select on the smoothed weights — export those
+    params = tree.get("g_ema") or tree["g_params"]
+    return {"params": params, "vq_stats": tree["vq_stats"]}
 
 
 def load_vocoder_from_orbax(path: str) -> dict:

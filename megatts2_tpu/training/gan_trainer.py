@@ -39,6 +39,10 @@ class GANTrainState(flax.struct.PyTreeNode):
     g_opt: Any
     d_opt: Any
     rng: jax.Array
+    # EMA copy of g_params when TrainConfig.g_ema_decay > 0, else None
+    # (None is an empty pytree node, so pre-EMA checkpoints restore
+    # unchanged into a g_ema=None state)
+    g_ema: Any = None
 
 
 def create_gan_state(
@@ -71,6 +75,8 @@ def create_gan_state(
         g_opt=g_tx.init(g_vars["params"]),
         d_opt=d_tx.init(d_vars["params"]),
         rng=state_rng,
+        g_ema=(jax.tree_util.tree_map(jnp.copy, g_vars["params"])
+               if tcfg.g_ema_decay > 0 else None),
     )
     return state, g_tx, d_tx
 
@@ -175,7 +181,17 @@ def make_gan_train_step(
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        # EMA generator (validation/selection weights) — trace-time switch
+        g_ema = state.g_ema
+        if g_ema is not None and tcfg.g_ema_decay > 0:
+            d_ = tcfg.g_ema_decay
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d_ + p.astype(e.dtype) * (1.0 - d_),
+                g_ema, g_params,
+            )
+
         new_state = state.replace(
+            g_ema=g_ema,
             step=state.step + 1,
             g_params=g_params,
             d_params=d_params,
@@ -259,8 +275,12 @@ def make_gan_eval_step(g_cfg: MegaGConfig):
     g = MegaG(g_cfg)
 
     def eval_step(state: GANTrainState, batch: dict):
+        # validate the EMA weights when they exist: checkpoint top-k then
+        # selects on the smoothed generator, which is also what
+        # load_generator_from_orbax exports for inference
+        g_params = state.g_params if state.g_ema is None else state.g_ema
         y_hat, _, _ = g.apply(
-            {"params": state.g_params, "vq_stats": state.vq_stats},
+            {"params": g_params, "vq_stats": state.vq_stats},
             batch["duration_tokens"],
             batch["phone_tokens"],
             batch["tokens_lens"],

@@ -101,6 +101,56 @@ class TestGANStep:
         out = jax.jit(make_gan_eval_step(TINY_G))(state, batch)
         assert np.isfinite(float(out["loss_re"]))
 
+    def test_ema_generator(self):
+        """g_ema_decay>0: the state carries an EMA copy that follows the
+        exact recursion e <- e*d + p*(1-d), the eval step evaluates the
+        EMA weights, and the no-EMA default keeps g_ema=None."""
+        from megatts2_tpu.training import (
+            create_gan_state,
+            make_gan_eval_step,
+            make_gan_train_step,
+        )
+
+        batch = gan_batch()
+        d = 0.5  # large 1-d so two steps move the EMA measurably
+        tcfg = TrainConfig(max_steps=100, warmup_steps=2,
+                           train_dtype="float32", g_ema_decay=d)
+        state, g_tx, d_tx = create_gan_state(
+            jax.random.PRNGKey(0), TINY_G, TINY_D, tcfg, batch
+        )
+        assert state.g_ema is not None
+        step_fn = jax.jit(make_gan_train_step(TINY_G, TINY_D, tcfg, g_tx, d_tx))
+        ema = jax.tree_util.tree_map(lambda x: np.asarray(x), state.g_ema)
+        s = state
+        for _ in range(3):
+            prev_ema = ema
+            s, _ = step_fn(s, batch)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + np.asarray(p) * (1 - d),
+                prev_ema, s.g_params,
+            )
+        got = jax.tree_util.tree_map(np.asarray, s.g_ema)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ema)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        # EMA lags the raw params once they have moved
+        diffs = jax.tree_util.tree_map(
+            lambda e, p: float(np.abs(e - np.asarray(p)).max()),
+            got, s.g_params,
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+        # eval runs on the EMA weights: zero them -> output must change
+        out_ema = jax.jit(make_gan_eval_step(TINY_G))(s, batch)
+        zeroed = s.replace(g_ema=jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x), s.g_ema))
+        out_zero = jax.jit(make_gan_eval_step(TINY_G))(zeroed, batch)
+        assert float(out_ema["loss_re"]) != float(out_zero["loss_re"])
+        # default path unchanged
+        state0, _, _ = create_gan_state(
+            jax.random.PRNGKey(0), TINY_G, TINY_D, TCFG, batch
+        )
+        assert state0.g_ema is None
+
 
 class TestPLMStep:
     def test_loss_decreases_on_repeated_batch(self):
