@@ -18,31 +18,55 @@ SIGABRT mid-training.
 """
 from __future__ import annotations
 
+import json
 import logging
+import os
 from typing import FrozenSet, Tuple
 
 log = logging.getLogger("megatts2_tpu.shape_guard")
 
 MEL_PAD_MULTIPLE = 64  # keep in sync with datasets.MEL_PAD_MULTIPLE
 
-# (B, T_target, T_timbre) triples measured to abort the remote compiler
-# (tools/probe_crash_geometry.py --out ...; BENCHMARKS.md "Input pipeline"
-# caveat).  The timbre bucket is the pow2 value datasets.py emits.
-KNOWN_BAD: FrozenSet[Tuple[int, int, int]] = frozenset({
+# Fallbacks if the bundled probe artifact is missing: the two triples
+# observed to abort the compiler in rounds 3-4, and the (B, T) anchors
+# EXECUTED at scale on the real chip ((8, 320): 1250 stage-2 batches
+# across timbre buckets 256/512/1024; (12, 256): the 50k-step GAN run;
+# (8, 512): the round-1..3 training benches).
+_FALLBACK_BAD: FrozenSet[Tuple[int, int, int]] = frozenset({
     (8, 256, 512),
     (8, 256, 2048),
 })
-
-# Measured-good (B, T_target) anchors — shapes EXECUTED (not just
-# compiled) at scale on the real chip, safe for every reachable timbre
-# bucket ≤ 2048: (8, 320) ran 1250 stage-2 batches across timbre buckets
-# 256/512/1024 (round-4 10k-utterance extraction); (12, 256) ran the
-# 50k-step GAN training; (8, 512) ran the round-1..3 training benches.
-KNOWN_GOOD: FrozenSet[Tuple[int, int]] = frozenset({
+_FALLBACK_GOOD: FrozenSet[Tuple[int, int]] = frozenset({
     (8, 320),
     (12, 256),
     (8, 512),
 })
+
+
+def _load_grid():
+    """Load the measured crash-geometry map from the probe artifact
+    (``tools/probe_crash_geometry.py --emit``; bundled as
+    ``data/crash_grid.json``, overridable via ``MEGATTS2_CRASH_GRID``).
+    Returns (bad triples, executed-good (B,T) anchors, compiled-good
+    triples)."""
+    path = os.environ.get("MEGATTS2_CRASH_GRID") or os.path.join(
+        os.path.dirname(__file__), "crash_grid.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            return (
+                frozenset(tuple(x) for x in d.get("bad", [])),
+                frozenset(tuple(x) for x in d.get("good_executed", [])),
+                frozenset(tuple(x) for x in d.get("good_compiled", [])),
+            )
+        except Exception as e:  # corrupt artifact: fail safe, warn once
+            log.warning("crash grid artifact %s unreadable (%s); using "
+                        "built-in fallbacks", path, e)
+    return _FALLBACK_BAD, _FALLBACK_GOOD, frozenset()
+
+
+KNOWN_BAD, KNOWN_GOOD, KNOWN_GOOD_COMPILED = _load_grid()
 
 _warned: set = set()
 
@@ -73,14 +97,25 @@ def safe_target_frames(b: int, t_target: int, max_timbre_frames: int) -> int:
     # KNOWN_BAD is finite, so this terminates (bounded by max bad T + 64).
     while any(is_known_bad(b, t, tm) for tm in buckets):
         t += MEL_PAD_MULTIPLE
-    # Prefer a MEASURED-GOOD anchor over a merely not-known-bad shape: an
-    # unprobed T' could itself trip the compiler bug.  If an executed-at-
-    # scale anchor for this B sits within 2 pad steps, take it.
-    if t != t_target and (b, t) not in KNOWN_GOOD:
-        for tg in sorted(tg for (bg, tg) in KNOWN_GOOD
-                         if bg == b and t <= tg <= t + 2 * MEL_PAD_MULTIPLE):
-            t = tg
-            break
+    # Prefer a MEASURED-GOOD shape over a merely not-known-bad one: an
+    # unprobed T' could itself trip the compiler bug.  Executed-at-scale
+    # anchors count, and so does a T' whose every reachable timbre bucket
+    # compiled clean in the probe grid.  Take the nearest within 2 pad
+    # steps.
+    def _measured_good(tt: int) -> bool:
+        return (b, tt) in KNOWN_GOOD or all(
+            (b, tt, tm) in KNOWN_GOOD_COMPILED for tm in buckets)
+
+    if t != t_target and not _measured_good(t):
+        for tg in (t + k * MEL_PAD_MULTIPLE for k in (1, 2)):
+            if _measured_good(tg):
+                t = tg
+                break
+        else:
+            for tg in sorted(tg for (bg, tg) in KNOWN_GOOD
+                             if bg == b and t <= tg <= t + 2 * MEL_PAD_MULTIPLE):
+                t = tg
+                break
     if t != t_target and (b, t_target) not in _warned:
         _warned.add((b, t_target))
         log.warning(
@@ -90,7 +125,7 @@ def safe_target_frames(b: int, t_target: int, max_timbre_frames: int) -> int:
             "by mel_target_lens).  See BENCHMARKS.md 'Input pipeline' "
             "and tools/probe_crash_geometry.py.",
             b, t_target, buckets, t,
-            "a measured-good anchor" if (b, t) in KNOWN_GOOD
+            "a measured-good shape" if _measured_good(t)
             else "not known bad, but unprobed — consider extending the "
                  "grid with tools/probe_crash_geometry.py",
         )

@@ -380,6 +380,48 @@ class TestShapeGuard:
     measured-bad (B, T_target, T_timbre) combos must never leave the
     batch builder; the guard pads the target bucket to a safe shape."""
 
+    def test_artifact_loading(self, tmp_path, monkeypatch):
+        """KNOWN_BAD/KNOWN_GOOD come from the probe artifact when present
+        (round-4 verdict #7: measured map, not hardcoded triples)."""
+        import importlib
+        import json as _json
+
+        import megatts2_tpu.data.shape_guard as sg
+
+        art = tmp_path / "grid.json"
+        art.write_text(_json.dumps({
+            "bad": [[8, 256, 512], [8, 256, 2048], [4, 128, 512]],
+            "good_compiled": [[8, 320, 512], [8, 320, 2048]],
+            "good_executed": [[12, 256]],
+        }))
+        monkeypatch.setenv("MEGATTS2_CRASH_GRID", str(art))
+        importlib.reload(sg)
+        try:
+            assert sg.is_known_bad(4, 128, 512)  # new measured-bad triple
+            assert sg.is_known_bad(8, 256, 512)
+            assert (12, 256) in sg.KNOWN_GOOD
+            # (8, 256) pads to 320: every reachable bucket compiled clean
+            assert sg.safe_target_frames(8, 256, max_timbre_frames=2048) == 320
+        finally:
+            monkeypatch.delenv("MEGATTS2_CRASH_GRID")
+            importlib.reload(sg)
+
+    def test_emit_artifact_folds_probe_results(self, tmp_path):
+        import json as _json
+
+        from tools.probe_crash_geometry import emit_artifact
+
+        jl = tmp_path / "probe.jsonl"
+        jl.write_text(
+            _json.dumps({"B": 8, "T": 256, "Tm": 512, "ok": False}) + "\n"
+            + _json.dumps({"B": 8, "T": 320, "Tm": 512, "ok": True}) + "\n"
+            + _json.dumps({"B": 8, "T": 320, "Tm": 512, "ok": True}) + "\n")
+        out = tmp_path / "grid.json"
+        art = emit_artifact(str(jl), str(out))
+        assert art["bad"] == [[8, 256, 512]]
+        assert art["good_compiled"] == [[8, 320, 512]]  # deduped
+        assert [8, 320] in art["good_executed"]
+
     def test_known_bad_padded_up(self):
         from megatts2_tpu.data.shape_guard import (
             is_known_bad,

@@ -44,6 +44,46 @@ DEFAULT_GRID = [
 ]
 
 
+def emit_artifact(jsonl_path: str, artifact_path: str) -> dict:
+    """Fold probe results (+ the executed-at-scale anchors) into the
+    artifact ``data/shape_guard.py`` loads: {bad: [[B,T,Tm]...],
+    good_compiled: [[B,T,Tm]...], good_executed: [[B,T]...]}."""
+    bad, good = [], []
+    seen = set()
+    if os.path.exists(jsonl_path):
+        for line in open(jsonl_path):
+            r = json.loads(line)
+            key = (r["B"], r["T"], r["Tm"])
+            if key in seen:
+                continue
+            seen.add(key)
+            (good if r["ok"] else bad).append(list(key))
+    artifact = {
+        "source": os.path.basename(jsonl_path),
+        "bad": sorted(bad),
+        "good_compiled": sorted(good),
+        # shapes EXECUTED at scale on the real chip (stronger than a
+        # clean compile): see data/shape_guard.py fallback docstring
+        "good_executed": [[8, 320], [12, 256], [8, 512]],
+    }
+    with open(artifact_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    return artifact
+
+
+def lattice_grid():
+    """The systematic (B, T_target, T_timbre) lattice (round-4 verdict #7):
+    every reachable corner of B x target-bucket x timbre-bucket space a
+    user config can hit, ordered cheap-compiles-first."""
+    out = list(DEFAULT_GRID)
+    for B in (4, 8, 12, 16):
+        for T in (128, 256, 320, 384, 512, 768, 1024):
+            for Tm in (512, 2048):
+                if (B, T, Tm) not in out:
+                    out.append((B, T, Tm))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/crash_grid.jsonl")
@@ -51,9 +91,25 @@ def main():
     ap.add_argument("--grid", default=None,
                     help="semicolon list of B,T,Tm triples (overrides the "
                          "default grid)")
+    ap.add_argument("--lattice", action="store_true",
+                    help="probe the full systematic lattice "
+                         "(B in {4,8,12,16} x T<=1024 x Tm in {512,2048})")
+    ap.add_argument("--emit", default=None,
+                    help="after probing, fold --out into this shape_guard "
+                         "artifact (data/crash_grid.json)")
+    ap.add_argument("--emit_only", action="store_true",
+                    help="just fold an existing --out into --emit")
+    ap.add_argument("--max_probes", type=int, default=0,
+                    help=">0: stop after this many new probes (budgeting)")
     args = ap.parse_args()
 
-    grid = DEFAULT_GRID
+    if args.emit_only:
+        art = emit_artifact(args.out, args.emit)
+        print(json.dumps({"bad": len(art["bad"]),
+                          "good_compiled": len(art["good_compiled"])}))
+        return
+
+    grid = lattice_grid() if args.lattice else DEFAULT_GRID
     if args.grid:
         grid = [tuple(int(x) for x in g.split(",")) for g in args.grid.split(";")]
 
@@ -97,10 +153,15 @@ def main():
     def sds(shape, dt):
         return jax.ShapeDtypeStruct(shape, dt)
 
+    n_new = 0
     for B, T, Tm in grid:
         if (B, T, Tm) in done:
             print(f"skip {(B, T, Tm)} (already probed)", flush=True)
             continue
+        if args.max_probes and n_new >= args.max_probes:
+            print(f"stopping at --max_probes={args.max_probes}", flush=True)
+            break
+        n_new += 1
         batch = {
             "phone_tokens": sds((B, Tp), jnp.int32),
             "duration_tokens": sds((B, Tp), jnp.int32),
@@ -121,6 +182,11 @@ def main():
         with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row), flush=True)
+
+    if args.emit:
+        art = emit_artifact(args.out, args.emit)
+        print(json.dumps({"emitted": args.emit, "bad": len(art["bad"]),
+                          "good_compiled": len(art["good_compiled"])}))
 
 
 if __name__ == "__main__":
