@@ -389,7 +389,14 @@ class PLMBatchBuilder:
         L = round_up(int(lens.max()), 32)
         D = tc_list[0].shape[1]
         p_codes = np.full((len(idxs), L + 1), self.eos, np.int32)
-        tc_latents = np.zeros((len(idxs), L, D), np.float32)
+        # fp16 on the wire: tc_latents dominate the per-step host->device
+        # transfer (a (8, 4096, 512) batch is 67 MB fp32 / 33 MB fp16) and
+        # the train step computes in bf16 anyway.  Round-5 at-scale lesson:
+        # the axon plugin leaks a fraction of upload staging buffers, and a
+        # 27k-step PLM run at 67 MB/step grew to 130 GB host RSS and was
+        # OOM-killed — halving the bytes halves the leak rate (and the
+        # upload cost) at no training-precision cost.
+        tc_latents = np.zeros((len(idxs), L, D), np.float16)
         for i, (tc, p) in enumerate(zip(tc_list, code_list)):
             p_codes[i, : len(p)] = p
             tc_latents[i, : tc.shape[0]] = tc
@@ -421,7 +428,9 @@ class ADMBatchBuilder:
         T = round_up(int(lens.max()), PHONE_PAD_MULTIPLE)
         D = tcs[0].shape[1]
         duration_tokens = np.zeros((len(durs), T + 1, 1), np.float32)  # leading 0 = BOS
-        tc_latents = np.zeros((len(durs), T, D), np.float32)
+        # fp16 on the wire — see PLMBatchBuilder (staging-buffer leak +
+        # upload cost; the step casts to its compute dtype regardless)
+        tc_latents = np.zeros((len(durs), T, D), np.float16)
         for i, (d, tc) in enumerate(zip(durs, tcs)):
             duration_tokens[i, 1 : 1 + len(d), 0] = d
             tc_latents[i, : tc.shape[0]] = tc

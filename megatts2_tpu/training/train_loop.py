@@ -10,6 +10,7 @@ the device mesh: params replicated (or TP-sharded), batch sharded over
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
@@ -18,6 +19,16 @@ import numpy as np
 from ..parallel import make_mesh, shard_batch
 from ..utils.logging import MetricsLogger, ProfilerHook, StepTimer
 from .checkpoints import save_checkpoint
+
+
+def _host_rss_gb() -> float:
+    """This process' resident set (GB) from /proc/self/statm (no psutil)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return round(pages * os.sysconf("SC_PAGE_SIZE") / 1e9, 2)
+    except Exception:  # non-Linux
+        return float("nan")
 
 
 def run_training(
@@ -61,6 +72,11 @@ def run_training(
             if step % log_every == 0:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["steps_per_sec"] = timer.steps_per_sec
+                # host RSS: long runs on the remote-TPU plugin leak a
+                # fraction of upload staging buffers (a 27k-step PLM run
+                # reached 130 GB and was OOM-killed before this existed);
+                # the curve makes that failure visible long before it kills
+                m["host_rss_gb"] = _host_rss_gb()
                 logger.log(step, m, prefix="train/")
             if val_every and step % val_every == 0 and jit_eval and valid_loader_factory:
                 vals: Dict[str, list] = {}
