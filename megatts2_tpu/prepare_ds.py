@@ -58,7 +58,11 @@ def parse_args(argv=None):
 class DatasetMaker:
     def __init__(self, args):
         self.args = args
-        self.test_set_interval = max(1, int(1 / args.test_set_ratio))
+        # 0 disables the valid split (e.g. prompt-only datasets prepared
+        # for inference/eval); the reference would divide by zero here
+        self.test_set_interval = (
+            max(1, int(1 / args.test_set_ratio)) if args.test_set_ratio > 0 else 0
+        )
 
     # ----------------------------------------------------------- stage 0
     def make_labs(self) -> None:
@@ -114,7 +118,8 @@ class DatasetMaker:
         text = open(txt_path, encoding="utf-8").read() if os.path.exists(txt_path) else ""
         return {
             "id": cut_id, "speaker": speaker, "text": text,
-            "split": "train" if n % self.test_set_interval else "valid",
+            "split": ("train" if self.test_set_interval == 0
+                      or n % self.test_set_interval else "valid"),
             "n_samples": y.shape[-1], "n_fr": n_fr, "bucket": bucket,
             "y_pad": np.pad(y, (0, bucket - y.shape[-1])),
             "phone_tokens": phone_tokens, "duration_tokens": duration_tokens,
