@@ -333,7 +333,8 @@ def main():
             from megatts2_tpu.ops import regulate_length
 
             tc_expand = regulate_length(tc, dt, args.max_frames)
-            zq = g.apply(g_vars_, p_code,
+            # RVQ.decode takes (n_q, B, T) — prepend the 1-quantizer axis
+            zq = g.apply(g_vars_, p_code[None],
                          method=lambda m, c: m.vqpe.vq.decode(c))
             zq = jnp.repeat(zq, 8, axis=1)  # code rate -> frame rate
             T = tc_expand.shape[1]  # static frame budget
@@ -407,6 +408,15 @@ def main():
 
     rows = []
     dur_maes = []
+    from megatts2_tpu.models import MegaG as _MegaG
+    from megatts2_tpu.models.adm import adm_infer
+
+    _g = _MegaG(g_cfg, dtype=jnp.bfloat16)
+    # jitted (params as ARGS — closures over params break the remote
+    # compiler on size); eager MRTE apply would pay ~75 ms/op through the
+    # tunnel per speaker
+    tc_fn = jax.jit(lambda v, p, mel, pl: _g.apply(
+        v, p, mel, pl, method=lambda m, a, b, c: m.mrte.tc_latent(a, b, c)))
     for spk in speakers:
         lo, hi = spk_f0[spk] * (1 - args.band_tol), spk_f0[spk] * (1 + args.band_tol)
         pdir = os.path.join(out_dir, f"prompt_{spk}")
@@ -433,13 +443,8 @@ def main():
         mels = [np.asarray(mel_spectrogram(jnp.asarray(load_wav(w))))
                 for w in prompt_wavs]
         mel_prompt = np.concatenate(mels, axis=0)[None]
-        from megatts2_tpu.models import MegaG as _MegaG
-        from megatts2_tpu.models.adm import adm_infer
-
-        g = _MegaG(g_cfg, dtype=jnp.bfloat16)
-        tc = g.apply(tts_greedy.g_vars, jnp.asarray(ids[None]),
-                     jnp.asarray(mel_prompt), jnp.asarray([ids.size]),
-                     method=lambda m, p, mel, pl: m.mrte.tc_latent(p, mel, pl))
+        tc = tc_fn(tts_greedy.g_vars, jnp.asarray(ids[None]),
+                   jnp.asarray(mel_prompt), jnp.asarray([ids.size]))
         dt = np.asarray(adm_infer(tts_greedy.adm_params, adm_cfg,
                                   tc.astype(jnp.float32), dtype=jnp.bfloat16)
                         )[0, : ids.size]
