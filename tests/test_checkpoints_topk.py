@@ -51,3 +51,42 @@ class TestTopKRetention:
         save_checkpoint(d, state, 2, keep=2, metric=0.9)
         save_checkpoint(d, state, 3, keep=2, metric=0.8)
         assert _dirs(d) == ["step_1", "step_3"]  # 0.1 best, 3 = top-2 & latest
+
+
+class TestSaveCadence:
+    def test_save_every_n_vals(self, monkeypatch, tmp_path):
+        """run_training with save_every_n_vals=2 checkpoints on every 2nd
+        validation plus the final save (round-5: full-size saves cost
+        ~1.5 min over the remote tunnel; the val curve stays dense)."""
+        import flax.struct
+        import jax.numpy as jnp
+
+        from megatts2_tpu.training import train_loop
+
+        class S(flax.struct.PyTreeNode):
+            step: jnp.ndarray
+
+        saves = []
+        monkeypatch.setattr(
+            train_loop, "save_checkpoint",
+            lambda ckpt_dir, state, step, keep=5, metric=None:
+                saves.append((step, metric)),
+        )
+
+        def step_fn(state, batch):
+            return S(step=state.step + 1), {"loss": jnp.float32(1.0)}
+
+        def loader_factory(epoch):
+            return [{"x": jnp.zeros((1,))}] * 10
+
+        train_loop.run_training(
+            "t", S(step=jnp.int32(0)), step_fn, loader_factory,
+            max_steps=10, log_dir=str(tmp_path), ckpt_dir=str(tmp_path),
+            log_every=100, val_every=2,
+            eval_step=lambda s, b: {"loss": jnp.float32(0.5)},
+            valid_loader_factory=loader_factory,
+            save_every_n_vals=2,
+        )
+        # 5 validations at steps 2,4,6,8,10 -> saves at the 2nd and 4th
+        # (steps 4 and 8, with the val metric) plus the final save
+        assert saves == [(4, 0.5), (8, 0.5), (10, None)]
