@@ -40,6 +40,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--train_root", default="/tmp/r5train")
     ap.add_argument("--ds", default=None, help="default: <train_root>/ds")
+    ap.add_argument("--ckpt_root", default=None,
+                    help="default: <train_root>/ckpts (at_scale_stack.py "
+                         "writes ckpts50k)")
     ap.add_argument("--n_batches", type=int, default=8)
     ap.add_argument("--batch_cuts", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
@@ -67,7 +70,9 @@ def main():
 
     ds = args.ds or os.path.join(args.train_root, "ds")
     cfg, _ = load_plm_config(os.path.join(args.train_root, "plm.yaml"))
-    ck = best_checkpoint(os.path.join(args.train_root, "ckpts", "plm"))
+    ck = best_checkpoint(
+        os.path.join(args.ckpt_root or os.path.join(args.train_root, "ckpts"),
+                     "plm"))
     params = restore_pytree(ck)["params"]
     params_q = quantize_tree(params)
     params, params_q = jax.device_put((params, params_q))
