@@ -188,13 +188,21 @@ class GANBatchBuilder:
             mel_targets = self._ring.wait(ticket, len(cuts), T)
             self._ring.release(ticket)
 
+        # fp16 on the wire (AFTER the fp32 native ring fill): the axon
+        # plugin leaks a fraction of upload staging buffers, and a 30k-step
+        # GAN run at ~3 MB fp32 mels/step OOM-killed a 129 GB host (round
+        # 5).  The train step casts back to f32 at entry and computes in
+        # bf16; fp16's 10-bit mantissa strictly dominates bf16's 7 and
+        # log-mels ([-12, 3]) sit far inside fp16's exponent range, so
+        # nothing is lost.  Same mitigation PLMBatchBuilder/ADMBatchBuilder
+        # ship for tc_latents.
         return {
             "phone_tokens": phones,
             "duration_tokens": durs,
             "tokens_lens": lens,
-            "mel_targets": mel_targets,
+            "mel_targets": mel_targets.astype(np.float16),
             "mel_target_lens": tgt_lens,
-            "mel_timbres": mel_timbres,
+            "mel_timbres": mel_timbres.astype(np.float16),
         }
 
 

@@ -249,8 +249,11 @@ class DatasetMaker:
                 variables,
                 jnp.asarray(batch["phone_tokens"]),
                 jnp.asarray(batch["tokens_lens"]),
-                jnp.asarray(batch["mel_timbres"]),
-                jnp.asarray(batch["mel_targets"]),
+                # host-cast back to f32: the builder emits fp16 on the wire
+                # for the leaky train path; extraction is bounded (~1.3k
+                # batches) and stays at full precision
+                jnp.asarray(np.asarray(batch["mel_timbres"], np.float32)),
+                jnp.asarray(np.asarray(batch["mel_targets"], np.float32)),
             )
             tc = np.asarray(tc, np.float32)
             codes = np.asarray(codes, np.int32)  # (n_q, B, T8)

@@ -30,6 +30,18 @@ from ..models import Discriminator, MegaG
 from .schedules import make_adamw
 
 
+def _mels_to_f32(batch: dict) -> dict:
+    """Accept fp16-on-the-wire mel batches (GANBatchBuilder halves upload
+    bytes because the axon plugin leaks staging buffers — a 30k-step run
+    OOM-killed a 129 GB host) by casting back to f32 at step entry; compute
+    is bf16 downstream, so the wire dtype never reaches the numerics."""
+    return dict(
+        batch,
+        mel_targets=batch["mel_targets"].astype(jnp.float32),
+        mel_timbres=batch["mel_timbres"].astype(jnp.float32),
+    )
+
+
 class GANTrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     g_params: Any
@@ -54,6 +66,8 @@ def create_gan_state(
 ) -> Tuple[GANTrainState, optax.GradientTransformation, optax.GradientTransformation]:
     g = MegaG(g_cfg)
     d = Discriminator(d_cfg)
+    example_batch = _mels_to_f32(
+        {k: jnp.asarray(v) for k, v in example_batch.items()})
     g_rng, d_rng, vq_rng, state_rng = jax.random.split(rng, 4)
     g_vars = jax.jit(g.init)(
         {"params": g_rng, "vq": vq_rng},
@@ -93,6 +107,7 @@ def make_gan_train_step(
     d = Discriminator(d_cfg, dtype=dtype)
 
     def train_step(state: GANTrainState, batch: dict):
+        batch = _mels_to_f32(batch)
         rng, drop_rng, vq_rng, win_rng, d_rng1, d_rng2, d_rng3 = jax.random.split(
             state.rng, 7
         )
@@ -275,6 +290,7 @@ def make_gan_eval_step(g_cfg: MegaGConfig):
     g = MegaG(g_cfg)
 
     def eval_step(state: GANTrainState, batch: dict):
+        batch = _mels_to_f32(batch)
         # validate the EMA weights when they exist: checkpoint top-k then
         # selects on the smoothed generator, which is also what
         # load_generator_from_orbax exports for inference
