@@ -43,20 +43,51 @@ def save_checkpoint(
     on the remote-tunnel TPU target the per-leaf ``device_get`` orbax
     would otherwise do dominates save time (BENCHMARKS.md "Checkpoint
     save cost").  ``MEGATTS2_PACKED_CKPT=0`` restores the direct path.
+
+    Saves into one ``ckpt_dir`` are serialized across PROCESSES by an
+    exclusive ``flock`` on ``.save.lock``: two trainers accidentally
+    sharing a checkpoint dir (observed in round 5 — a stale driver and
+    its relaunch both fitting the same stage) would otherwise destroy
+    each other mid-write, because the same-step tmp cleanup below deletes
+    the OTHER writer's in-flight ``step_N.orbax-checkpoint-tmp`` dir
+    (tensorstore then dies with rename-ENOENT).  The lock converts that
+    into a loud wait; the stale-tmp cleanup is only safe while holding it.
     """
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"step_{step}")
+    import fcntl as _fcntl
+    import glob as _glob
+    import logging as _logging
+    import shutil as _shutil
+
+    lock_f = open(os.path.join(ckpt_dir, ".save.lock"), "w")
+    try:
+        try:
+            _fcntl.flock(lock_f, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+        except OSError:
+            _logging.getLogger("megatts2_tpu.checkpoints").warning(
+                "another process is saving into %s (two trainers sharing "
+                "one ckpt_dir is almost certainly a launch bug); waiting "
+                "for its save to finish.", ckpt_dir)
+            _fcntl.flock(lock_f, _fcntl.LOCK_EX)
+        return _save_locked(ckpt_dir, path, state, step, keep, metric,
+                            _glob, _shutil)
+    finally:
+        try:
+            _fcntl.flock(lock_f, _fcntl.LOCK_UN)
+        finally:
+            lock_f.close()
+
+
+def _save_locked(ckpt_dir, path, state, step, keep, metric, _glob, _shutil):
     # Crash-resume hygiene: a save killed mid-write leaves a
     # ``step_N.orbax-checkpoint-tmp*`` dir whose deterministic name
     # collides when the resumed run re-saves the SAME step (observed on
     # the 50k-run SIGKILL-at-20000).  Only this step's tmp dirs can
     # collide, so the glob is scoped to them — a broad ``step_*`` sweep
     # would destroy an in-flight save if a second writer ever shared the
-    # dir (advisor r4).
-    import glob as _glob
-    import shutil as _shutil
-
+    # dir (advisor r4); a LIVE same-step writer is excluded by the flock.
     for stale in _glob.glob(
         os.path.join(ckpt_dir, f"step_{step}.orbax-checkpoint-tmp*")
     ):

@@ -53,6 +53,50 @@ class TestTopKRetention:
         assert _dirs(d) == ["step_1", "step_3"]  # 0.1 best, 3 = top-2 & latest
 
 
+class TestConcurrentWriters:
+    def test_two_processes_saving_same_dir_serialize(self, tmp_path):
+        """Two PROCESSES saving the same step into one ckpt_dir must both
+        complete and leave a restorable checkpoint.  Round-5 incident: a
+        stale at_scale_stack driver and its relaunch both ran `cli.py fit
+        --stage vocoder` on one dir; writer A's same-step tmp cleanup
+        deleted writer B's in-flight orbax tmp dir and B died with
+        tensorstore rename-ENOENT.  save_checkpoint now holds an exclusive
+        flock on <ckpt_dir>/.save.lock for the whole save."""
+        import subprocess
+        import sys
+
+        d = str(tmp_path / "ck")
+        prog = (
+            "import sys, jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "from megatts2_tpu.training.checkpoints import save_checkpoint\n"
+            "w = int(sys.argv[2])\n"
+            "for step in (1, 2):\n"
+            "    save_checkpoint(sys.argv[1], {'w': jnp.full((256,), w),\n"
+            "                    's': jnp.asarray(step)}, step, keep=2,\n"
+            "                    metric=float(w))\n"
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", prog, d, str(w)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+            for w in (1, 2)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err.decode()[-2000:]
+        # both steps exist and restore cleanly (winner of the last write
+        # is either process — the invariant is no corruption, no crash)
+        for step in (1, 2):
+            tree = restore_pytree(os.path.join(d, f"step_{step}"))
+            assert int(tree["s"]) == step
+            assert float(tree["w"][0]) in (1.0, 2.0)
+        # no leftover tmp dirs
+        assert not [n for n in os.listdir(d) if "tmp" in n]
+
+
 class TestSaveCadence:
     def test_save_every_n_vals(self, monkeypatch, tmp_path):
         """run_training with save_every_n_vals=2 checkpoints on every 2nd
